@@ -1,0 +1,263 @@
+"""Public aligner API — the L5 layer of the framework.
+
+Role-equivalent to the reference's aligner object and batch orchestration
+(lib/aligner.c:114-260 `wfagpu_add_sequences` / `wfagpu_align`, and
+lib/align.cu:42-481 `launch_alignments`), redesigned for TPU execution:
+
+* Pairs are **binned by length tier** (powers of two) instead of using the
+  first batch's sizes for buffer sizing (lib/align.cu:83-94): each tier
+  compiles one static-shape engine and runs dense tiles, replacing the
+  persistent-kernel work pool with grid batching.
+* Unfinished / N-containing / oversized pairs go to the native CPU fallback
+  engine exactly like the reference routes them to WFA2-lib
+  (lib/align.cu:236-249, sequence_packing_kernel.cu:68-76).
+* CIGARs for device-finished pairs are decoded from the engine's choice
+  tables by the native OpenMP decoder (utils/cigar.c analog).
+
+Deviation from the reference (documented): in banded mode the reference's CPU
+fallback enables WFA2-lib's *adaptive heuristic* (utils/wfa_cpu.c:48); our CPU
+fallback is always exact, so fallback scores can only be better-or-equal.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from . import native
+from .ops.packing import pack_batch
+from .params import AlignmentOptions, default_band_width, default_max_error
+from .schedule import build_schedule
+from .types import MAX_SEQ_LEN, AlignmentResult, Penalties
+from .utils.logger import LOG
+
+_MIN_TIER = 64
+
+
+def _tier_of(length: int) -> int:
+    t = _MIN_TIER
+    while length + 2 > t:
+        t *= 2
+    return t
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class _TierPlan:
+    tier: int
+    indices: list[int]
+    wf_width: int
+    tile_batch: int
+    nwords: int
+    score_limit: int | None
+
+
+def _plan_tiers(
+    lens: np.ndarray, opts: AlignmentOptions, max_error: int
+) -> list[_TierPlan]:
+    pen = opts.penalties
+    tiers: dict[int, list[int]] = {}
+    for i, L in enumerate(lens):
+        tiers.setdefault(_tier_of(int(L)), []).append(i)
+
+    plans = []
+    for tier, idxs in sorted(tiers.items()):
+        if opts.banded:
+            width = opts.band_width or default_band_width(max_error)
+            w = min(width, 2 * (tier + 2) + 1)
+            score_limit = None
+        else:
+            w2 = min(max_error, tier + 2)
+            w = 2 * w2 + 1
+            # Cost of the all-indels alignment bounds the optimum, so the
+            # schedule never needs scores beyond it for this tier.
+            score_limit = 2 * pen.o + pen.e * 2 * (tier + 2) + pen.x
+        sched = build_schedule(pen, max_error, score_limit if not opts.banded else None)
+        if opts.compute_cigar:
+            per_lane = sched.num_steps * w  # choice bytes
+        else:
+            per_lane = 3 * pen.active_working_set * w * 4 * 2
+        per_lane = max(per_lane, 1)
+        tile = opts.tile_batch or max(
+            8, min(2048, opts.memory_budget_bytes // per_lane)
+        )
+        tile = min(_round_up(len(idxs), 8), _round_up(tile, 8))
+        nwords = tier // 16 + 1
+        plans.append(_TierPlan(tier, idxs, w, tile, nwords, score_limit))
+    return plans
+
+
+def align_pairs(
+    patterns: list[bytes],
+    texts: list[bytes],
+    options: AlignmentOptions | None = None,
+) -> list[AlignmentResult]:
+    """Align a batch of (pattern, text) pairs; the functional core API."""
+    import jax.numpy as jnp
+
+    from .ops.engine_xla import EngineConfig, align_batch_device
+
+    opts = options or AlignmentOptions()
+    pen = opts.penalties
+    n = len(patterns)
+    if n == 0:
+        return []
+    if len(texts) != n:
+        raise ValueError("patterns and texts must have equal length")
+
+    max_error = opts.max_error or default_max_error(
+        len(patterns[0]), len(texts[0]), pen
+    )
+
+    lens = np.array(
+        [max(len(p), len(t)) for p, t in zip(patterns, texts)], dtype=np.int64
+    )
+    results: list[AlignmentResult | None] = [None] * n
+    need_cpu = np.zeros(n, dtype=bool)
+
+    # Pairs the device engine cannot take at all.
+    oversized = np.array(
+        [
+            len(p) >= MAX_SEQ_LEN or len(t) >= MAX_SEQ_LEN
+            for p, t in zip(patterns, texts)
+        ]
+    )
+    need_cpu |= oversized
+    device_idx = [i for i in range(n) if not oversized[i]]
+
+    band = opts.resolved_band() if opts.banded else -1
+
+    for plan in _plan_tiers(lens[device_idx], opts, max_error):
+        idxs = [device_idx[j] for j in plan.indices]
+        cfg = EngineConfig(
+            penalties=pen,
+            max_steps=max_error,
+            wf_width=plan.wf_width,
+            compute_cigar=opts.compute_cigar,
+            band=band,
+            score_limit=plan.score_limit if not opts.banded else None,
+        )
+        sched = build_schedule(pen, max_error, cfg.score_limit)
+        step_of_score = None
+        if opts.compute_cigar:
+            max_sc = int(sched.score[-1]) if sched.num_steps else 0
+            step_of_score = np.full(max_sc + 1, -1, dtype=np.int32)
+            step_of_score[sched.score] = np.arange(
+                sched.num_steps, dtype=np.int32
+            )
+
+        for start in range(0, len(idxs), plan.tile_batch):
+            chunk = idxs[start : start + plan.tile_batch]
+            bsz = plan.tile_batch
+            pats = [patterns[i] for i in chunk] + [b""] * (bsz - len(chunk))
+            txts = [texts[i] for i in chunk] + [b""] * (bsz - len(chunk))
+
+            pat_w, p_len, p_ok = pack_batch(pats, plan.nwords)
+            txt_w, t_len, t_ok = pack_batch(txts, plan.nwords)
+            valid = p_ok & t_ok
+
+            out = align_batch_device(
+                cfg,
+                jnp.asarray(pat_w),
+                jnp.asarray(txt_w),
+                jnp.asarray(p_len),
+                jnp.asarray(t_len),
+                jnp.asarray(valid),
+            )
+            dist = np.asarray(out["distance"])
+            fin = np.asarray(out["finished"])
+
+            cigars: list[str | None] = [None] * bsz
+            if opts.compute_cigar:
+                choices = np.asarray(out["choices"])
+                lo_trace = np.asarray(out["lo_trace"])
+                if native.available():
+                    cigars, _ = native.traceback_batch(
+                        choices, lo_trace, step_of_score, dist, fin,
+                        pats, txts, pen,
+                    )
+                else:
+                    from .traceback import recover_cigar
+
+                    cigars = [
+                        recover_cigar(
+                            choices[:, b], lo_trace[:, b], sched,
+                            int(dist[b]), pats[b], txts[b],
+                        )
+                        if fin[b]
+                        else None
+                        for b in range(bsz)
+                    ]
+
+            for b, i in enumerate(chunk):
+                if fin[b]:
+                    results[i] = AlignmentResult(
+                        error=int(dist[b]),
+                        cigar=cigars[b] or "",
+                        finished_on_accelerator=True,
+                    )
+                else:
+                    need_cpu[i] = True
+
+    # ---- CPU fallback pass (lib/align.cu:236-249 analog). ----
+    cpu_idx = np.flatnonzero(need_cpu)
+    if cpu_idx.size and opts.cpu_fallback:
+        LOG.debug("CPU fallback for %d/%d pairs", cpu_idx.size, n)
+        cpats = [patterns[i] for i in cpu_idx]
+        ctxts = [texts[i] for i in cpu_idx]
+        mask = np.ones(len(cpats), dtype=np.int8)
+        if native.available():
+            dist, cigs, _ = native.cpu_align_batch(
+                cpats, ctxts, pen, mask, opts.compute_cigar
+            )
+        else:
+            from .utils.cpu_wfa import align_one_py
+
+            dist = np.zeros(len(cpats), dtype=np.int32)
+            cigs = []
+            for j, (p, t) in enumerate(zip(cpats, ctxts)):
+                d, c = align_one_py(p, t, pen, opts.compute_cigar)
+                dist[j] = d
+                cigs.append(c)
+        for j, i in enumerate(cpu_idx):
+            results[i] = AlignmentResult(
+                error=int(dist[j]),
+                cigar=(cigs[j] or "") if opts.compute_cigar else "",
+                finished_on_accelerator=False,
+            )
+    elif cpu_idx.size:
+        for i in cpu_idx:
+            results[i] = AlignmentResult(
+                error=0, cigar="", finished_on_accelerator=False
+            )
+
+    return results  # type: ignore[return-value]
+
+
+class WfaAligner:
+    """Stateful convenience wrapper (wfagpu_initialize_aligner /
+    wfagpu_add_sequences / wfagpu_align, lib/aligner.h:49-63)."""
+
+    def __init__(self, options: AlignmentOptions | None = None):
+        self.options = options or AlignmentOptions()
+        self._patterns: list[bytes] = []
+        self._texts: list[bytes] = []
+        self.results: list[AlignmentResult] = []
+
+    def add_sequences(self, pattern: bytes | str, text: bytes | str) -> None:
+        if isinstance(pattern, str):
+            pattern = pattern.encode()
+        if isinstance(text, str):
+            text = text.encode()
+        self._patterns.append(pattern)
+        self._texts.append(text)
+
+    def __len__(self) -> int:
+        return len(self._patterns)
+
+    def align(self) -> list[AlignmentResult]:
+        self.results = align_pairs(self._patterns, self._texts, self.options)
+        return self.results

@@ -1,0 +1,176 @@
+"""Command-line aligner — flag-for-flag port of the reference CLI surface
+(tools/aligner.c:60-187), TPU backend.
+
+Usage examples (cf. tools/aligner.c:211-216):
+    wfa.affine.tpu -i sequences.seq -b 1000 -o scores.out
+    wfa.affine.tpu -i sequences.seq -B auto -o scores-banded.out
+    wfa.affine.tpu -Q queries.fasta -T targets.fasta -x -o cigars.out
+
+Output format matches tools/aligner.c:497-509: per alignment one line
+``-error<TAB>cigar`` (``-O`` appends pattern and text columns).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from . import native
+from .aligner import align_pairs
+from .params import AlignmentOptions
+from .types import Penalties
+from .utils.io import SequenceBatch, read_fasta_pair, read_seq_file
+from .utils.logger import LOG, set_verbosity
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="wfa.affine.tpu",
+        description="Batch gap-affine pairwise alignment (WFA) on TPU",
+    )
+    p.add_argument("-i", "--input-seq", help=".seq file (alternating >pattern / <text lines)")
+    p.add_argument("-Q", "--input-fasta-query", help="FASTA with query (pattern) sequences")
+    p.add_argument("-T", "--input-fasta-target", help="FASTA with target (text) sequences")
+    p.add_argument("-n", "--num-alignments", type=int, help="number of alignments to read (default: all)")
+    p.add_argument("-g", "--affine-penalties", default=None, help="penalties x,o,e (default 2,3,1)")
+    p.add_argument("-x", "--compute-cigar", action="store_true", help="compute the optimal alignment path (CIGAR)")
+    p.add_argument("-c", "--check", action="store_true", help="check alignment correctness against the CPU oracle")
+    p.add_argument("-e", "--max-distance", type=int, help="maximum error the kernel computes (default: ~10%% of first pair)")
+    p.add_argument("-b", "--batch-size", type=int, help="alignments per pipeline batch")
+    p.add_argument("-B", "--band", default=None, help="banded (heuristic) execution; value = re-centering interval, 'auto' = 25")
+    p.add_argument("-t", "--band-width", type=int, default=None, help="band window width in diagonals (reference: threads per block)")
+    p.add_argument("-w", "--workers", type=int, default=None, help="accepted for compatibility; the TPU engine sizes its own grid")
+    p.add_argument("-o", "--output-file", help="output file for results")
+    p.add_argument("-p", "--print-output", action="store_true", help="print output to stderr")
+    p.add_argument("-O", "--output-verbose", action="store_true", help="append pattern/text columns to the output")
+    p.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto", help="device engine selection")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def _parse_penalties(arg: str | None) -> Penalties:
+    if not arg:
+        return Penalties(2, 3, 1)
+    try:
+        x, o, e = (int(v) for v in arg.split(","))
+    except ValueError:
+        LOG.warning(
+            "Invalid penalties format provided. Using default penalties (0,2,3,1)."
+        )
+        return Penalties(2, 3, 1)
+    return Penalties(abs(x), abs(o), abs(e))
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.verbose:
+        set_verbosity("DEBUG")
+
+    if args.input_seq:
+        if native.available():
+            pats, txts = native.read_seq_native(args.input_seq)
+            batch = SequenceBatch(pats, txts)
+            if args.num_alignments:
+                batch = SequenceBatch(
+                    batch.patterns[: args.num_alignments],
+                    batch.texts[: args.num_alignments],
+                )
+        else:
+            batch = read_seq_file(args.input_seq, args.num_alignments)
+    elif args.input_fasta_query and args.input_fasta_target:
+        batch = read_fasta_pair(
+            args.input_fasta_query, args.input_fasta_target, args.num_alignments
+        )
+    else:
+        LOG.error("No input file provided.")
+        return 1
+
+    pen = _parse_penalties(args.affine_penalties)
+    LOG.info("Penalties: M=0, X=%d, O=%d, E=%d.", pen.x, pen.o, pen.e)
+
+    max_error = args.max_distance
+    if max_error is None and len(batch):
+        # CLI default: ~10% error of the first pair, floor 20
+        # (tools/aligner.c:319-338).
+        max_error = int(
+            max(len(batch.texts[0]), len(batch.patterns[0])) * 0.1
+        ) * max(pen.x, pen.o, pen.e)
+        max_error = max(max_error, 20)
+        if max_error > 8000:
+            LOG.warning(
+                "Automatically generated maximum error is very high; consider"
+                " limiting it with '-e'."
+            )
+        LOG.info("No maximum error provided by the user, using %d", max_error)
+    elif max_error is not None and max_error <= 0:
+        LOG.error("Maximum error supported by the kernel must be > 0.")
+        return 1
+
+    band = -1
+    if args.band is not None:
+        band = 25 if args.band == "auto" else int(args.band)
+        if band < 0:
+            LOG.error("Band must be positive (band=%d).", band)
+            return 1
+        if band == 0:
+            band = 25
+
+    opts = AlignmentOptions(
+        penalties=pen,
+        max_error=max_error,
+        compute_cigar=args.compute_cigar,
+        batch_size=args.batch_size,
+        band=band if args.band is not None else -1,
+        band_width=args.band_width,
+    )
+
+    t0 = time.time()
+    results = align_pairs(batch.patterns, batch.texts, opts)
+    wall = time.time() - t0
+    print(
+        f"Alignment computed. Wall time: {wall:.3f}s "
+        f"({len(results) / wall:.3f} alignments per second)"
+    )
+
+    if args.check:
+        ncorrect = nincorrect = 0
+        from .utils.verification import affine_score, check_cigar
+
+        for i, r in enumerate(results):
+            ok = True
+            if native.available():
+                oracle = native.cpu_align_single(
+                    batch.patterns[i], batch.texts[i], pen
+                )
+            else:
+                from .utils.cpu_wfa import align_one_py
+
+                oracle, _ = align_one_py(
+                    batch.patterns[i], batch.texts[i], pen, False
+                )
+            if args.compute_cigar:
+                ok = check_cigar(r.cigar, batch.patterns[i], batch.texts[i])
+                ok = ok and affine_score(r.cigar, pen) == r.error
+            if opts.banded:
+                ok = ok and r.error >= oracle
+            else:
+                ok = ok and r.error == oracle
+            ncorrect += ok
+            nincorrect += not ok
+        LOG.warning("correct=%d incorrect=%d", ncorrect, nincorrect)
+        print(f"correct={ncorrect} incorrect={nincorrect}", file=sys.stderr)
+
+    if args.output_file or args.print_output:
+        from .utils.io import write_alignments
+
+        fp = sys.stderr if args.print_output else open(args.output_file, "w")
+        try:
+            write_alignments(fp, results, batch, verbose=args.output_verbose)
+        finally:
+            if not args.print_output:
+                fp.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
