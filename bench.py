@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Benchmark entry point (run on real TPU hardware by the driver).
+
+Primary metric: alignments/sec/chip on PacBio HiFi reads in banded
+(adaptive-band) distance mode — the reference's headline long-read
+configuration (README.md:25-27: HiFi, max-error 3000, banded), measured on
+the bundled 50-pair HiFi corpus replicated to a full batch.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is relative to benchmarks/baseline.json when present (a recorded
+prior measurement / reference number); 1.0 otherwise.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent
+sys.path.insert(0, str(ROOT))
+
+import numpy as np
+
+
+def _bench_hifi_banded() -> tuple[str, float, str]:
+    import jax.numpy as jnp
+
+    from wfa_tpu.ops.engine_pallas import PallasConfig, align_batch_pallas
+    from wfa_tpu.ops.packing import pack_batch
+    from wfa_tpu.types import Penalties
+    from wfa_tpu.utils.io import read_seq_file
+
+    batch = read_seq_file(ROOT / "tests" / "data" / "test_hifi.seq")
+    reps = 8  # 400 alignments per timed run
+    pats = batch.patterns * reps
+    txts = batch.texts * reps
+    n = len(pats)
+    n_pad = ((n + 7) // 8) * 8
+    pats += [b""] * (n_pad - n)
+    txts += [b""] * (n_pad - n)
+
+    lmax = max(max(len(p), len(t)) for p, t in zip(pats, txts))
+    nwp = ((lmax // 16 + 8 + 127) // 128) * 128
+    pat, plen, vp = pack_batch(pats, nwp)
+    txt, tlen, vt = pack_batch(txts, nwp)
+
+    cfg = PallasConfig(
+        penalties=Penalties(2, 3, 1),
+        max_steps=3000,
+        wf_width=512,
+        tile_batch=8,
+        band=25,
+    )
+    args = (
+        jnp.asarray(pat), jnp.asarray(txt),
+        jnp.asarray(plen), jnp.asarray(tlen), jnp.asarray(vp & vt),
+    )
+    # Warmup (compile) + correctness sanity.
+    out = align_batch_pallas(cfg, *args)
+    fin = np.asarray(out["finished"])[:n]
+    assert fin.all(), f"{(~fin).sum()} HiFi alignments unfinished"
+
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        out = align_batch_pallas(cfg, *args)
+        np.asarray(out["distance"])
+        dt = time.time() - t0
+        best = max(best, n / dt)
+    return (
+        "alignments/sec/chip (PacBio HiFi ~14kbp, banded distance, Pallas)",
+        best,
+        "alignments/s",
+    )
+
+
+def _bench_short_exact() -> tuple[str, float, str]:
+    import random
+
+    import jax.numpy as jnp
+
+    from wfa_tpu.ops.engine_pallas import PallasConfig, align_batch_pallas
+    from wfa_tpu.ops.packing import pack_batch
+    from wfa_tpu.types import Penalties
+
+    rng = random.Random(0)
+
+    def mutate(s, err):
+        out = list(s)
+        for _ in range(int(len(s) * err)):
+            op = rng.choice("XID")
+            pos = rng.randrange(max(1, len(out)))
+            if op == "X":
+                out[pos] = rng.choice("ACGT")
+            elif op == "I":
+                out.insert(pos, rng.choice("ACGT"))
+            elif len(out) > 1:
+                del out[pos]
+        return "".join(out)
+
+    n = 4096
+    pats, txts = [], []
+    for _ in range(n):
+        p = "".join(rng.choice("ACGT") for _ in range(100))
+        pats.append(p.encode())
+        txts.append(mutate(p, 0.05).encode())
+    pat, plen, vp = pack_batch(pats, 128)
+    txt, tlen, vt = pack_batch(txts, 128)
+    cfg = PallasConfig(
+        penalties=Penalties(2, 3, 1), max_steps=60, wf_width=128,
+        tile_batch=32,
+    )
+    args = (
+        jnp.asarray(pat), jnp.asarray(txt),
+        jnp.asarray(plen), jnp.asarray(tlen), jnp.asarray(vp & vt),
+    )
+    out = align_batch_pallas(cfg, *args)
+    assert np.asarray(out["finished"]).all()
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        out = align_batch_pallas(cfg, *args)
+        np.asarray(out["distance"])
+        best = max(best, n / (time.time() - t0))
+    return (
+        "alignments/sec/chip (100bp 5% error, exact distance, Pallas)",
+        best,
+        "alignments/s",
+    )
+
+
+def main() -> int:
+    try:
+        metric, value, unit = _bench_hifi_banded()
+    except Exception as ex:  # robust fallback so the driver always gets a line
+        print(f"[bench] HiFi banded failed ({type(ex).__name__}: {ex}); "
+              "falling back to short-read exact", file=sys.stderr)
+        metric, value, unit = _bench_short_exact()
+
+    vs = 1.0
+    baseline_path = ROOT / "benchmarks" / "baseline.json"
+    if baseline_path.exists():
+        try:
+            base = json.loads(baseline_path.read_text())
+            ref = base.get(metric)
+            if ref:
+                vs = value / float(ref)
+        except Exception:
+            pass
+
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": unit,
+        "vs_baseline": round(vs, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -90,6 +90,49 @@ def _plan_tiers(
     return plans
 
 
+def _run_tier_pallas(
+    patterns, texts, idxs, plan, opts, max_error, band, results, need_cpu
+):
+    """Run one length tier through the Pallas TPU kernel (distance mode)."""
+    import jax.numpy as jnp
+
+    from .ops.engine_pallas import LANE, PallasConfig, align_batch_pallas
+
+    pen = opts.penalties
+    tile = 8
+    bsz = _round_up(len(idxs), tile)
+    pats = [patterns[i] for i in idxs] + [b""] * (bsz - len(idxs))
+    txts = [texts[i] for i in idxs] + [b""] * (bsz - len(idxs))
+    nwp = _round_up(plan.tier // 16 + 8, LANE)
+    w = _round_up(plan.wf_width, LANE)
+
+    pat_w, p_len, p_ok = pack_batch(pats, nwp)
+    txt_w, t_len, t_ok = pack_batch(txts, nwp)
+    valid = p_ok & t_ok
+
+    cfg = PallasConfig(
+        penalties=pen,
+        max_steps=max_error,
+        wf_width=w,
+        tile_batch=tile,
+        band=band,
+    )
+    out = align_batch_pallas(
+        cfg,
+        jnp.asarray(pat_w), jnp.asarray(txt_w),
+        jnp.asarray(p_len), jnp.asarray(t_len), jnp.asarray(valid),
+    )
+    dist = np.asarray(out["distance"])
+    fin = np.asarray(out["finished"])
+    for b, i in enumerate(idxs):
+        if fin[b]:
+            results[i] = AlignmentResult(
+                error=int(dist[b]), cigar="", finished_on_accelerator=True
+            )
+        else:
+            need_cpu[i] = True
+
+
 def align_pairs(
     patterns: list[bytes],
     texts: list[bytes],
@@ -130,8 +173,26 @@ def align_pairs(
 
     band = opts.resolved_band() if opts.banded else -1
 
+    # Engine choice: the Pallas kernels are the TPU fast path (distance mode
+    # for now); the XLA engine is the portable reference and the CIGAR path.
+    use_pallas = opts.backend == "pallas"
+    if opts.backend == "auto" and not opts.compute_cigar:
+        import jax
+
+        use_pallas = jax.default_backend() == "tpu"
+
     for plan in _plan_tiers(lens[device_idx], opts, max_error):
         idxs = [device_idx[j] for j in plan.indices]
+        # The Pallas kernel statically unrolls its gather sweep over the
+        # wavefront window, so very wide exact windows (huge max_error on
+        # long sequences) stay on the XLA engine for now.
+        w_pad = _round_up(plan.wf_width, 128)
+        if use_pallas and not opts.compute_cigar and w_pad <= 1024:
+            _run_tier_pallas(
+                patterns, texts, idxs, plan, opts, max_error, band,
+                results, need_cpu,
+            )
+            continue
         cfg = EngineConfig(
             penalties=pen,
             max_steps=max_error,

@@ -1,0 +1,518 @@
+"""Pallas TPU kernel for batched gap-affine WFA (distance mode).
+
+This is the performance path; wfa_tpu/ops/engine_xla.py is the portable
+reference implementation with identical semantics (cross-validated in tests).
+
+Mapping of the reference CUDA kernel (lib/kernels/sequence_distance_kernel.cu)
+onto the TPU, re-designed rather than translated:
+
+* One grid step = one tile of ``BT`` alignments (sublanes) x ``W`` diagonals
+  (lanes).  Replaces CUDA's one-block-per-alignment + atomic work pool with
+  dense static batching.
+* The whole M/I/D wavefront ring lives in **VMEM scratch** for the entire
+  alignment — the analog of the reference's shared-memory center cache +
+  global spill (sequence_alignment_kernel.cu:51-78), except VMEM is large
+  enough that nothing spills.
+* The wavefront-existence control flow (which scores are skipped / M-only /
+  full MDI — reference lines 584-610) runs as **scalar bitmask arithmetic**
+  inside the kernel: two rolling u32 bitmaps of M/I existence over the last 32
+  scores replace both the reference's runtime `exist` flags and any schedule
+  table.
+* The 16-bases-per-u32 LCP extension (common_alignment_kernels.cuh:29-111) is
+  `xor` + `clz` on u32 lanes; the unaligned two-word loads become
+  `tpu.dynamic_gather` lane-shuffles.  Mosaic's gather only shuffles within a
+  128-lane vreg, so wide gathers run as a dynamic-range loop over 128-word
+  table chunks (`_gather_wide`), skipping chunks no lane needs.
+
+Constraints: W and the packed-word count must be multiples of 128; offsets are
+int32 lanes (int16 packing is a future optimization).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..types import OFFSET_NULL, AffineOp, Penalties
+
+NULL = np.int32(OFFSET_NULL)
+LANE = 128
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class PallasConfig:
+    penalties: Penalties
+    max_steps: int
+    wf_width: int          # multiple of 128
+    tile_batch: int = 8    # alignments per grid step (sublane dim)
+    band: int = -1         # <0 exact; >0 banded re-center interval
+
+    def __post_init__(self):
+        assert self.wf_width % LANE == 0
+        assert self.penalties.active_working_set <= 32, (
+            "existence bitmask holds 32 scores; max(o+e,x)+1 must be <= 32"
+        )
+
+    @property
+    def banded(self) -> bool:
+        return self.band > 0
+
+
+def _gather_chunks(load_chunk, n_chunks: int, idx: jnp.ndarray, fill, dtype):
+    """Generic wide per-lane gather: out[b, j] = table[b, idx[b, j]].
+
+    ``load_chunk(tc)`` must return the [BT, 128] table chunk starting at lane
+    tc*128 (tc is a python int — the sweep is static).  Mosaic's
+    `tpu.dynamic_gather` only shuffles within one 128-lane vreg, so the gather
+    sweeps every table chunk unconditionally and merges with vector selects —
+    measured far cheaper than data-dependent chunk skipping, which costs a
+    vector->scalar sync per skip test.  Out-of-range lanes get ``fill``.
+    """
+    bt, w = idx.shape
+    pieces = []
+    for oc in range(w // LANE):
+        idx_c = idx[:, oc * LANE : (oc + 1) * LANE]
+        acc = jnp.full((bt, LANE), fill, dtype)
+        for tc in range(n_chunks):
+            rel = idx_c - tc * LANE
+            inr = (rel >= 0) & (rel < LANE)
+            g = jnp.take_along_axis(
+                load_chunk(tc), jnp.clip(rel, 0, LANE - 1), axis=1
+            )
+            acc = jnp.where(inr, g, acc)
+        pieces.append(acc)
+    return jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
+
+
+def _gather_words(words_ref, idx: jnp.ndarray) -> jnp.ndarray:
+    bt = idx.shape[0]
+    n_chunks = words_ref.shape[1] // LANE
+
+    def load_chunk(tc):
+        return words_ref[pl.ds(0, bt), pl.ds(tc * LANE, LANE)]
+
+    return _gather_chunks(load_chunk, n_chunks, idx, 0, jnp.uint32)
+
+
+def _load_span(words_ref, pos: jnp.ndarray, nwords: int) -> list:
+    """``nwords`` consecutive de-phased u32 words (16 bases each) starting at
+    base index `pos` — the generalization of the reference's two-word
+    de-phased load (common_alignment_kernels.cuh:53-84) to wider spans, so one
+    extension iteration can compare 16*nwords bases."""
+    idx = jax.lax.shift_right_logical(pos, 4)
+    phase = (pos & 15).astype(jnp.uint32)
+    raw = [_gather_words(words_ref, idx + i) for i in range(nwords + 1)]
+    out = []
+    for i in range(nwords):
+        hi = raw[i] << (2 * phase)
+        lo = jnp.where(
+            phase == 0, jnp.uint32(0), raw[i + 1] >> (32 - 2 * phase)
+        )
+        out.append(hi | lo)
+    return out
+
+
+def _tail_mask(nxt: jnp.ndarray, limit: jnp.ndarray) -> jnp.ndarray:
+    over = jnp.maximum(nxt - limit, 0)
+    sh = jnp.minimum(2 * over, 32).astype(jnp.uint32)
+    full = jnp.uint32(0xFFFFFFFF)
+    return jnp.where(sh == 32, jnp.uint32(0), full << sh)
+
+
+def _extend(offs, k, pat_ref, txt_ref, plen, tlen):
+    """Vectorized LCP extension (WF_extend_kernel analog).
+
+    The `active` mask is carried as int32 — Mosaic cannot yield i1 vectors
+    from loop bodies.
+    """
+    v0 = offs - k
+    h0 = offs
+    invalid = (offs < 0) | (v0 > plen) | (h0 > tlen)
+
+    span = 4  # words per iteration: compare 64 bases per while-loop step
+    nb = 16 * span
+
+    def cond(state):
+        return jnp.max(state[3]) > 0
+
+    def body(state):
+        v, h, acc, active = state
+        vc = jnp.clip(v, 0, plen)
+        hc = jnp.clip(h, 0, tlen)
+        wps = _load_span(pat_ref, vc, span)
+        wts = _load_span(txt_ref, hc, span)
+        # First-mismatch position across the span: word i contributes
+        # 16*i + clz(diff_i)/2 when it is the first word with any mismatch.
+        eq = jnp.full(v.shape, nb, jnp.int32)
+        found = jnp.zeros(v.shape, jnp.int32)
+        for i in range(span):
+            diff = wps[i] ^ wts[i]
+            off16 = 16 * i
+            diff = diff | ~_tail_mask(vc + off16 + 16, plen)
+            diff = diff | ~_tail_mask(hc + off16 + 16, tlen)
+            nz = diff != 0
+            e_i = off16 + (jax.lax.clz(diff) >> 1).astype(jnp.int32)
+            eq = jnp.where((found == 0) & nz, e_i, eq)
+            found = jnp.where(nz, 1, found)
+        eq = jnp.where(active > 0, eq, 0)
+        acc = acc + eq
+        v = v + eq
+        h = h + eq
+        active = jnp.where(
+            (eq == nb) & (v < plen) & (h < tlen), active, 0
+        )
+        return v, h, acc, active
+
+    active0 = jnp.where(
+        (~invalid) & (v0 < plen) & (h0 < tlen), 1, 0
+    ).astype(jnp.int32)
+    _, _, acc, _ = jax.lax.while_loop(
+        cond, body, (v0, h0, jnp.zeros_like(offs), active0)
+    )
+    return jnp.where(invalid, NULL, offs + acc)
+
+
+def _pack(offset, op):
+    return (offset << 2) | op
+
+
+def _shift_k_minus_1(row):
+    """row[k-1] under lane k: shift lanes right by one, NULL into lane 0."""
+    rolled = pltpu.roll(row, 1, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+    return jnp.where(lane == 0, NULL, rolled)
+
+
+def _shift_k_plus_1(row):
+    rolled = pltpu.roll(row, row.shape[1] - 1, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+    return jnp.where(lane == row.shape[1] - 1, NULL, rolled)
+
+
+def _distance_kernel(cfg: PallasConfig):
+    x, o, e = cfg.penalties.x, cfg.penalties.o, cfg.penalties.e
+    A = cfg.penalties.active_working_set
+    W = cfg.wf_width
+    BT = cfg.tile_batch
+    W2 = W // 2
+    BIG = np.int32(1 << 20)
+    banded = cfg.banded
+
+    def kernel(pat_ref, txt_ref, plen_ref, tlen_ref, valid_ref,
+               dist_ref, fin_ref, state_ref, win_ref):
+        plen = plen_ref[:]            # [BT, 1]
+        tlen = tlen_ref[:]
+        valid = valid_ref[:]          # [BT, 1] int32 0/1 (Mosaic dislikes
+        target_k = tlen - plen        # narrow bool vectors, so masks are i32)
+        target_off = tlen
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
+
+        # Reset the whole ring to NULL (one row store per wavefront).
+        null_row = jnp.full((1, BT, W), NULL, jnp.int32)
+        for i in range(3 * A):
+            state_ref[pl.ds(i, 1), :, :] = null_row
+        zeros_w = jnp.zeros((1, BT, 1), jnp.int32)
+        for i in range(2 * A):
+            win_ref[pl.ds(i, 1), :, :] = zeros_w
+
+        # Score 0: initial extension on diagonal 0.  The exact engine centers
+        # its fixed window at -W2; the banded window starts as the single
+        # diagonal 0 at index 0 (aband kernel init, lines 566-592).
+        j0 = 0 if banded else W2
+        k0_row = lane - j0
+        offs0 = jnp.where(lane == j0, 0, NULL)
+        m0 = _extend(offs0, k0_row, pat_ref, txt_ref, plen, tlen)
+        state_ref[pl.ds(0, 1), :, :] = m0[None]
+
+        init_off = jnp.max(
+            jnp.where(lane == j0, m0, NULL), axis=1, keepdims=True
+        )
+        hit0 = jnp.where(
+            (target_k == 0) & (init_off == target_off), 1, 0
+        ).astype(jnp.int32)
+        done0 = jnp.maximum(hit0, 1 - valid)
+        fin0 = hit0 * valid
+        dist0 = jnp.zeros((BT, 1), jnp.int32)
+
+        def read_row(mat: int, slot):
+            return state_ref[pl.ds(mat * A + slot, 1), :, :][0]
+
+        def read_win(slot):
+            lo = win_ref[pl.ds(slot, 1), :, :][0]
+            ext = win_ref[pl.ds(A + slot, 1), :, :][0]
+            return lo, ext
+
+        def body(carry):
+            d, steps, m_bits, i_bits, done, fin, dist = carry
+            # Existence of the parent scores from the rolling bitmaps
+            # (bit j == exist[d-1-j]).
+            gap_oe = jax.lax.cond(
+                d - o - e >= 0,
+                lambda: (m_bits >> (o + e - 1)) & 1,
+                lambda: jnp.uint32(0),
+            )
+            gap_ie = jax.lax.cond(
+                d - e >= 0,
+                lambda: (i_bits >> (e - 1)) & 1,
+                lambda: jnp.uint32(0),
+            )
+            gap = (gap_oe | gap_ie) != 0
+            m_x = jax.lax.cond(
+                d - x >= 0,
+                lambda: (m_bits >> (x - 1)) & 1,
+                lambda: jnp.uint32(0),
+            )
+            m_exist = gap | (m_x != 0)
+
+            def compute(done, fin, dist):
+                oslot = jax.lax.rem(d, A)
+                sx = jax.lax.rem(d - x + A * 8, A)
+                soe = jax.lax.rem(d - o - e + A * 8, A)
+                se = jax.lax.rem(d - e + A * 8, A)
+                Mx = read_row(0, sx)
+                Moe = read_row(0, soe)
+                Ie = read_row(1, se)
+                De = read_row(2, se)
+                ok_x = m_x != 0
+                ok_oe = gap_oe != 0
+                ok_ie = gap_ie != 0
+                if not banded:
+                    Mxv = jnp.where(ok_x, Mx, NULL)
+                    Moev = jnp.where(ok_oe, Moe, NULL)
+                    Iev = jnp.where(ok_ie, Ie, NULL)
+                    Dev = jnp.where(ok_ie, De, NULL)
+                    I_open = _shift_k_minus_1(Moev) + 1
+                    I_ext = _shift_k_minus_1(Iev) + 1
+                    D_open = _shift_k_plus_1(Moev)
+                    D_ext = _shift_k_plus_1(Dev)
+                    X_off = Mxv + 1
+                    k_row = lane - W2
+                    lo_n = None
+                    ext_n = None
+                else:
+                    lo_x, ext_x = read_win(sx)
+                    lo_oe, ext_oe = read_win(soe)
+                    lo_e, ext_e = read_win(se)
+
+                    def bounds(lo_p, ext_p, ok):
+                        hi_p = jnp.where(ok, lo_p + ext_p, -BIG)
+                        lo_b = jnp.where(ok, lo_p, BIG)
+                        return hi_p, lo_b
+
+                    hi_x_b, lo_x_b = bounds(lo_x, ext_x, ok_x)
+                    hi_oe_b, lo_oe_b = bounds(lo_oe, ext_oe, ok_oe)
+                    hi_e_b, lo_e_b = bounds(lo_e, ext_e, ok_ie)
+
+                    hi_id = jnp.maximum(hi_oe_b, hi_e_b) + 1
+                    lo_id = jnp.minimum(lo_oe_b, lo_e_b) - 1
+                    hi_n = jnp.maximum(hi_x_b, hi_id)
+                    lo_n = jnp.minimum(lo_x_b, lo_id)
+                    # Clamp to the band width, shrinking hi first
+                    # (aband lines 172-176).
+                    t = jnp.maximum((hi_n - lo_n) - (W - 1), 0)
+                    hi_n = hi_n - (t + 1) // 2
+                    lo_n = lo_n + t // 2
+
+                    # Re-center every `band` scores when the M[d-x] window is
+                    # at full width (aband lines 182-205), MDI steps only.
+                    recenter_step = jax.lax.rem(d, cfg.band) == 0
+                    do_rc = jnp.where(
+                        (ext_x >= W - 1) & recenter_step & gap & ok_x, 1, 0
+                    )
+                    kx = lo_x + lane
+                    d2t = jnp.where(
+                        Mx >= 0,
+                        jnp.maximum(plen - (Mx - kx), tlen - Mx),
+                        BIG,
+                    )
+                    d2t = jnp.where(lane < ext_x, d2t, BIG)
+                    sentinel = 2 * (tlen + plen)
+                    mval = jnp.min(d2t, axis=1, keepdims=True)
+                    first = jnp.min(
+                        jnp.where(d2t == mval, lane, BIG),
+                        axis=1, keepdims=True,
+                    )
+                    center = jnp.where(mval < sentinel, lo_x + first, lo_x)
+                    lo_n = jnp.where(do_rc != 0, center - W2, lo_n)
+                    hi_n = jnp.where(do_rc != 0, center - W2 + W - 1, hi_n)
+                    ext_n = hi_n - lo_n
+
+                    def wread(mat, slot, lo_p, ext_p, ok, dk):
+                        # Per-alignment dynamic-shift read of a parent window:
+                        # child lane j is diagonal lo_n + j; parent index is
+                        # that diagonal minus the parent's base (the TPU
+                        # analog of aband get_offset's k>hi||k<lo NULL clamp).
+                        rel = (lo_n - lo_p) + lane + dk
+
+                        def load_chunk(tc):
+                            return state_ref[
+                                pl.ds(mat * A + slot, 1), :,
+                                pl.ds(tc * LANE, LANE),
+                            ][0]
+
+                        vals = _gather_chunks(
+                            load_chunk, W // LANE,
+                            jnp.where((rel >= 0) & (rel <= ext_p), rel, -1),
+                            NULL, jnp.int32,
+                        )
+                        return jnp.where(ok, vals, NULL)
+
+                    I_open = wread(0, soe, lo_oe, ext_oe, ok_oe, -1) + 1
+                    I_ext = wread(1, se, lo_e, ext_e, ok_ie, -1) + 1
+                    D_open = wread(0, soe, lo_oe, ext_oe, ok_oe, +1)
+                    D_ext = wread(2, se, lo_e, ext_e, ok_ie, +1)
+                    X_off = wread(0, sx, lo_x, ext_x, ok_x, 0) + 1
+                    k_row = lo_n + lane
+
+                I_pb = jnp.maximum(_pack(I_open, 1), _pack(I_ext, 2))
+                I_new = I_pb >> 2
+                D_pb = jnp.maximum(_pack(D_open, 1), _pack(D_ext, 2))
+                D_new = D_pb >> 2
+                M_pb = jnp.maximum(
+                    jnp.maximum(
+                        _pack(X_off, int(AffineOp.SUB)),
+                        _pack(D_new, int(AffineOp.DEL)),
+                    ),
+                    _pack(I_new, int(AffineOp.INS)),
+                )
+                M_new = _extend(M_pb >> 2, k_row, pat_ref, txt_ref, plen, tlen)
+
+                if banded:
+                    lane_live = lane <= ext_n
+                    I_new = jnp.where(lane_live, I_new, NULL)
+                    D_new = jnp.where(lane_live, D_new, NULL)
+                    M_new = jnp.where(lane_live, M_new, NULL)
+
+                # Termination: M[target_k] == target_offset; banded adds the
+                # overshoot -> unfinished rule (aband lines 674-682).
+                m_at_t = jnp.max(
+                    jnp.where(k_row == target_k, M_new, NULL),
+                    axis=1, keepdims=True,
+                )
+                reach = jnp.abs(target_k) <= d
+                hit = reach & (m_at_t == target_off)
+                if banded:
+                    stop = reach & (m_at_t >= target_off)
+                else:
+                    stop = hit
+                newly = jnp.where(stop, 1 - done, 0).astype(jnp.int32)
+                newfin = jnp.where(hit, newly, 0)
+                fin = jnp.maximum(fin, newfin)
+                dist = jnp.where(newly != 0, d, dist)
+                done = jnp.maximum(done, newly)
+
+                # Freeze finished lanes' slots (their last wavefront is kept).
+                live = (done == 0) | (newly != 0)
+                old_m = state_ref[pl.ds(oslot, 1), :, :][0]
+                old_i = state_ref[pl.ds(A + oslot, 1), :, :][0]
+                old_d = state_ref[pl.ds(2 * A + oslot, 1), :, :][0]
+                state_ref[pl.ds(oslot, 1), :, :] = jnp.where(
+                    live, M_new, old_m
+                )[None]
+                state_ref[pl.ds(A + oslot, 1), :, :] = jnp.where(
+                    live, I_new, old_i
+                )[None]
+                state_ref[pl.ds(2 * A + oslot, 1), :, :] = jnp.where(
+                    live, D_new, old_d
+                )[None]
+                if banded:
+                    old_lo = win_ref[pl.ds(oslot, 1), :, :][0]
+                    old_ext = win_ref[pl.ds(A + oslot, 1), :, :][0]
+                    win_ref[pl.ds(oslot, 1), :, :] = jnp.where(
+                        live, lo_n, old_lo
+                    )[None]
+                    win_ref[pl.ds(A + oslot, 1), :, :] = jnp.where(
+                        live, ext_n, old_ext
+                    )[None]
+                return done, fin, dist
+
+            done, fin, dist = jax.lax.cond(
+                m_exist,
+                compute,
+                lambda done, fin, dist: (done, fin, dist),
+                done, fin, dist,
+            )
+
+            steps = steps + jnp.where(gap, 1, 0)
+            m_bits = (m_bits << 1) | jnp.where(m_exist, jnp.uint32(1), 0)
+            i_bits = (i_bits << 1) | jnp.where(gap, jnp.uint32(1), 0)
+            return d + 1, steps, m_bits, i_bits, done, fin, dist
+
+        def cond(carry):
+            d, steps, _, _, done, _, _ = carry
+            return (steps < cfg.max_steps - 1) & (jnp.min(done) == 0)
+
+        d_end, _, _, _, done, fin, dist = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(1), jnp.int32(1), jnp.uint32(1), jnp.uint32(0),
+             done0, fin0, dist0),
+        )
+
+        # Unfinished lanes report the score after the last processed
+        # iteration, like the reference's exit path.
+        timed_out = (valid != 0) & (done == 0)
+        dist = jnp.where(timed_out, d_end, dist)
+        fin = fin * valid
+        dist = dist * valid
+        dist_ref[:] = dist
+        fin_ref[:] = fin
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def align_batch_pallas(
+    cfg: PallasConfig,
+    pat: jnp.ndarray,    # [B, NWP] uint32, NWP % 128 == 0
+    txt: jnp.ndarray,
+    plen: jnp.ndarray,   # [B] int32
+    tlen: jnp.ndarray,
+    valid: jnp.ndarray,  # [B] bool
+):
+    B, NWP = pat.shape
+    BT = cfg.tile_batch
+    assert B % BT == 0 and NWP % LANE == 0
+    grid = (B // BT,)
+    A = cfg.penalties.active_working_set
+
+    kernel = _distance_kernel(cfg)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BT, NWP), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, NWP), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3 * A, BT, cfg.wf_width), jnp.int32),
+            pltpu.VMEM((2 * A, BT, 1), jnp.int32),
+        ],
+    )(
+        pat, txt,
+        plen[:, None].astype(jnp.int32),
+        tlen[:, None].astype(jnp.int32),
+        valid[:, None].astype(jnp.int32),
+    )
+    dist, fin = out
+    return {"distance": dist[:, 0], "finished": fin[:, 0] != 0}

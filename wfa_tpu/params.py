@@ -66,6 +66,9 @@ class AlignmentOptions:
     memory_budget_bytes: int = 1 << 30
     # Run CPU fallback for unfinished/invalid pairs (reference always does).
     cpu_fallback: bool = True
+    # Device engine: "auto" uses the Pallas kernels on TPU where they apply,
+    # the portable XLA engine elsewhere; "xla"/"pallas" force one.
+    backend: str = "auto"
 
     def resolved_band(self) -> int:
         if self.band == 0:
