@@ -49,6 +49,44 @@ struct CigarBuf {
   }
 };
 
+// Backward DP walk shared by both choice-table layouts; ChoiceAt is
+// (d, k) -> 4-bit choice, or a negative error code.
+template <typename ChoiceAt>
+static int walk_ops(ChoiceAt&& choice_at, int32_t distance, int plen,
+                    int tlen, int x, int o, int e,
+                    std::vector<uint8_t>* ops_rev) {
+  ops_rev->reserve(2 * distance + 2);
+  int mat = 0;
+  long d = distance;
+  int k = tlen - plen;
+  while (d > 0) {
+    int c = choice_at(d, k);
+    if (c < 0) return -c;
+    if (mat == 0) {
+      ops_rev->push_back(OP_SUB);
+      int mc = c & 3;
+      if (mc == M_FROM_X) d -= x;
+      else if (mc == M_FROM_I) mat = 1;
+      else mat = 2;
+    } else if (mat == 1) {
+      ops_rev->push_back(OP_INS);
+      if (c & I_EXT_BIT) { d -= e; --k; }
+      else { mat = 0; d -= o + e; --k; }
+    } else {
+      ops_rev->push_back(OP_DEL);
+      if (c & D_EXT_BIT) { d -= e; ++k; }
+      else { mat = 0; d -= o + e; ++k; }
+    }
+  }
+  if (mat != 0 || d != 0 || k != 0) return 3;
+  std::reverse(ops_rev->begin(), ops_rev->end());
+  return 0;
+}
+
+// Forward replay (utils/cigar.c:119-268 semantics) -> run-length CIGAR.
+static void emit_cigar(const std::vector<uint8_t>& ops_rev, const char* pat,
+                       int plen, const char* txt, int tlen, CigarBuf* cb);
+
 static int decode_one(const uint8_t* choices, const int32_t* lo_trace,
                       int64_t S, int64_t B, int64_t W, int64_t b,
                       const int32_t* step_of_score, int32_t distance,
@@ -61,38 +99,57 @@ static int decode_one(const uint8_t* choices, const int32_t* lo_trace,
     *out = std::move(cb.s);
     return 0;
   }
-  // Backward walk.
-  std::vector<uint8_t> ops_rev;
-  ops_rev.reserve(2 * distance + 2);
-  int mat = 0;
-  long d = distance;
-  int k = tlen - plen;
-  while (d > 0) {
+  auto choice_at = [&](long d, int k) -> int {
     int s = step_of_score[d];
-    if (s < 0) return 1;
+    if (s < 0) return -1;
     int j = k - lo_trace[static_cast<int64_t>(s) * B + b];
-    if (j < 0 || j >= W) return 2;
-    uint8_t c = choices[(static_cast<int64_t>(s) * B + b) * W + j];
-    if (mat == 0) {
-      ops_rev.push_back(OP_SUB);
-      int mc = c & 3;
-      if (mc == M_FROM_X) d -= x;
-      else if (mc == M_FROM_I) mat = 1;
-      else mat = 2;
-    } else if (mat == 1) {
-      ops_rev.push_back(OP_INS);
-      if (c & I_EXT_BIT) { d -= e; --k; }
-      else { mat = 0; d -= o + e; --k; }
-    } else {
-      ops_rev.push_back(OP_DEL);
-      if (c & D_EXT_BIT) { d -= e; ++k; }
-      else { mat = 0; d -= o + e; ++k; }
-    }
-  }
-  if (mat != 0 || d != 0 || k != 0) return 3;
-  std::reverse(ops_rev.begin(), ops_rev.end());
+    if (j < 0 || j >= W) return -2;
+    return choices[(static_cast<int64_t>(s) * B + b) * W + j];
+  };
+  std::vector<uint8_t> ops_rev;
+  int rc = walk_ops(choice_at, distance, plen, tlen, x, o, e, &ops_rev);
+  if (rc != 0) return rc;
+  emit_cigar(ops_rev, pat, plen, txt, tlen, &cb);
+  cb.flush();
+  *out = std::move(cb.s);
+  return 0;
+}
 
-  // Forward replay (utils/cigar.c:119-268 semantics).
+// Pallas-layout decode: by-score nibble-packed words [C, B, W] int32 with a
+// by-score window base (lo_trace row per alignment) or a constant base.
+static int decode_one_packed(const int32_t* words, int64_t C, int64_t B,
+                             int64_t W, int64_t b, const int32_t* lo_row,
+                             int32_t lo_const, int32_t distance,
+                             const char* pat, int plen, const char* txt,
+                             int tlen, int x, int o, int e, std::string* out) {
+  CigarBuf cb;
+  if (distance == 0) {
+    cb.push(OP_M, tlen);
+    cb.flush();
+    *out = std::move(cb.s);
+    return 0;
+  }
+  auto choice_at = [&](long d, int k) -> int {
+    int64_t c = d >> 3;
+    if (c >= C) return -1;
+    int32_t lo = lo_row ? lo_row[d] : lo_const;
+    int j = k - lo;
+    if (j < 0 || j >= W) return -2;
+    int32_t w = words[(c * B + b) * W + j];
+    return (w >> (4 * (d & 7))) & 0xF;
+  };
+  std::vector<uint8_t> ops_rev;
+  int rc = walk_ops(choice_at, distance, plen, tlen, x, o, e, &ops_rev);
+  if (rc != 0) return rc;
+  emit_cigar(ops_rev, pat, plen, txt, tlen, &cb);
+  cb.flush();
+  *out = std::move(cb.s);
+  return 0;
+}
+
+static void emit_cigar(const std::vector<uint8_t>& ops_rev, const char* pat,
+                       int plen, const char* txt, int tlen, CigarBuf* cbp) {
+  CigarBuf& cb = *cbp;
   bool extending = false;
   int k2 = 0;
   int off = 0;
@@ -120,9 +177,6 @@ static int decode_one(const uint8_t* choices, const int32_t* lo_trace,
     while (acc < n && pat[v + acc] == txt[h + acc]) ++acc;
     cb.push(OP_M, acc);
   }
-  cb.flush();
-  *out = std::move(cb.s);
-  return 0;
 }
 
 }  // namespace
@@ -154,6 +208,44 @@ void wfa_traceback_batch(const uint8_t* choices, const int32_t* lo_trace,
     int rc = decode_one(choices, lo_trace, S, B, W, b, step_of_score,
                         distances[b], seqs + p_off[b], p_len[b],
                         seqs + t_off[b], t_len[b], x, o, e, &cig);
+    if (rc != 0) {
+      status[b] = static_cast<int8_t>(2 + rc);
+      cigars[b * cigar_stride] = '\0';
+      continue;
+    }
+    if (static_cast<int64_t>(cig.size()) + 1 <= cigar_stride) {
+      std::memcpy(cigars + b * cigar_stride, cig.c_str(), cig.size() + 1);
+      status[b] = 1;
+    } else {
+      cigars[b * cigar_stride] = '\0';
+      status[b] = 2;
+    }
+  }
+}
+
+// Pallas-layout batch decode.
+// words:    int32 [C, B, W]  by-score nibble-packed choices (8 scores/word)
+// lo_trace: int32 [B, lo_stride] window base per score, or NULL (then
+//           lo_const is the fixed exact-mode window base, -W/2)
+// status codes as in wfa_traceback_batch.
+void wfa_traceback_batch_packed(
+    const int32_t* words, int64_t C, int64_t B, int64_t W,
+    const int32_t* lo_trace, int64_t lo_stride, int32_t lo_const,
+    const int32_t* distances, const int8_t* finished, const char* seqs,
+    const int64_t* p_off, const int64_t* t_off, const int32_t* p_len,
+    const int32_t* t_len, int x, int o, int e, char* cigars,
+    int64_t cigar_stride, int8_t* status) {
+#pragma omp parallel for schedule(dynamic, 4)
+  for (int64_t b = 0; b < B; ++b) {
+    if (!finished[b]) {
+      status[b] = 0;
+      continue;
+    }
+    const int32_t* lo_row = lo_trace ? lo_trace + b * lo_stride : nullptr;
+    std::string cig;
+    int rc = decode_one_packed(words, C, B, W, b, lo_row, lo_const,
+                               distances[b], seqs + p_off[b], p_len[b],
+                               seqs + t_off[b], t_len[b], x, o, e, &cig);
     if (rc != 0) {
       status[b] = static_cast<int8_t>(2 + rc);
       cigars[b * cigar_stride] = '\0';

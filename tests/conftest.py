@@ -16,4 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# WFA_TPU_TEST_HW=1 runs the suite against the real attached accelerator
+# (used by the verify flow); default is the hermetic CPU mesh.
+if not os.environ.get("WFA_TPU_TEST_HW"):
+    jax.config.update("jax_platforms", "cpu")

@@ -14,6 +14,83 @@ from wfa_tpu.types import Penalties
 from test_engine import make_pairs
 
 
+def _xla_choices_to_packed(out_x, sched, W):
+    """Re-layout the XLA engine's per-step choice table into the Pallas
+    kernel's by-score nibble-packed format, to cross-validate the decoders."""
+    choices = np.asarray(out_x["choices"])  # [S, B, W] u8
+    lo_tr = np.asarray(out_x["lo_trace"])   # [S, B]
+    S, B, _ = choices.shape
+    max_score = int(sched.score[-1]) if sched.num_steps else 0
+    C = max_score // 8 + 2
+    words = np.zeros((C, B, W), dtype=np.int32)
+    lo_by_score = np.zeros((B, max_score + 1), dtype=np.int32)
+    for s in range(sched.num_steps):
+        d = int(sched.score[s])
+        words[d >> 3] |= choices[s].astype(np.int32) << (4 * (d & 7))
+        lo_by_score[:, d] = lo_tr[s]
+    return words, lo_by_score
+
+
+@pytest.mark.parametrize("band", [-1, 10])
+def test_packed_decoder_matches_step_decoder(band):
+    """recover_cigar_packed (Python + native C++) on a re-layouted XLA choice
+    table must reproduce the step-layout decoder's CIGARs exactly."""
+    from wfa_tpu import native
+    from wfa_tpu.schedule import build_schedule
+    from wfa_tpu.traceback import recover_cigar, recover_cigar_packed
+    from wfa_tpu.utils.verification import affine_score, check_cigar
+
+    pen = Penalties(2, 3, 1)
+    pairs = make_pairs(13, sizes=(8, 40, 100), errs=(0.0, 0.1))[:12]
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    nwp = 128
+    pat, plen, vp = pack_batch(pats, nwp)
+    txt, tlen, vt = pack_batch(txts, nwp)
+    W = 128
+    cfg = EngineConfig(
+        penalties=pen, max_steps=80, wf_width=W, compute_cigar=True, band=band
+    )
+    out = align_batch_device(
+        cfg, jnp.asarray(pat), jnp.asarray(txt),
+        jnp.asarray(plen), jnp.asarray(tlen), jnp.asarray(vp & vt),
+    )
+    dist = np.asarray(out["distance"])
+    fin = np.asarray(out["finished"])
+    sched = build_schedule(pen, 80, None)
+    words, lo_by_score = _xla_choices_to_packed(out, sched, W)
+
+    choices = np.asarray(out["choices"])
+    lo_tr = np.asarray(out["lo_trace"])
+    ref_cigars = []
+    got_py = []
+    for b in range(len(pairs)):
+        if not fin[b]:
+            ref_cigars.append(None)
+            got_py.append(None)
+            continue
+        ref = recover_cigar(
+            choices[:, b], lo_tr[:, b], sched, int(dist[b]), pats[b], txts[b]
+        )
+        got = recover_cigar_packed(
+            words[:, b, :], lo_by_score[b], -(W // 2), pen,
+            int(dist[b]), pats[b], txts[b],
+        )
+        assert got == ref, f"pair {b}: {got} != {ref}"
+        assert check_cigar(got, pats[b], txts[b])
+        assert affine_score(got, pen) == dist[b]
+        ref_cigars.append(ref)
+        got_py.append(got)
+
+    if native.available():
+        cigars, _ = native.traceback_batch_packed(
+            words, lo_by_score, -(W // 2), dist, fin, pats, txts, pen
+        )
+        for b in range(len(pairs)):
+            if fin[b]:
+                assert cigars[b] == ref_cigars[b]
+
+
 @pytest.mark.parametrize("band", [-1, 10])
 def test_pallas_matches_xla(band):
     pen = Penalties(2, 3, 1)

@@ -1,0 +1,54 @@
+"""Real-accelerator validation of the Pallas kernels (runs only when the
+suite is invoked with WFA_TPU_TEST_HW=1 on a machine with a TPU attached;
+the hermetic CPU run skips these — interpret-mode DMA is not exercisable).
+"""
+import numpy as np
+import pytest
+import jax
+
+from test_engine import make_pairs
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs a real TPU"
+)
+
+
+@requires_tpu
+@pytest.mark.parametrize("band", [-1, 10])
+def test_pallas_cigar_on_hw(band):
+    import jax.numpy as jnp
+
+    from wfa_tpu import native
+    from wfa_tpu.ops.engine_pallas import PallasConfig, align_batch_pallas
+    from wfa_tpu.ops.packing import pack_batch
+    from wfa_tpu.schedule import build_schedule
+    from wfa_tpu.types import Penalties
+    from wfa_tpu.utils.verification import affine_score, check_cigar
+
+    pen = Penalties(2, 3, 1)
+    pairs = make_pairs(11, sizes=(12, 60, 110), errs=(0.0, 0.08))
+    pairs = (pairs + pairs)[:16]
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    pat, plen, vp = pack_batch(pats, 128)
+    txt, tlen, vt = pack_batch(txts, 128)
+    sched = build_schedule(pen, 100, None)
+    cfg = PallasConfig(
+        penalties=pen, max_steps=100, wf_width=128, tile_batch=8,
+        band=band, compute_cigar=True, score_cap=sched.unfinished_score + 1,
+    )
+    out = align_batch_pallas(
+        cfg, jnp.asarray(pat), jnp.asarray(txt),
+        jnp.asarray(plen), jnp.asarray(tlen), jnp.asarray(vp & vt),
+    )
+    dist = np.asarray(out["distance"])
+    fin = np.asarray(out["finished"])
+    assert fin.all()
+    words = np.asarray(out["choice_words"])
+    lo = np.asarray(out["lo_trace"]) if band > 0 else None
+    cigars, _ = native.traceback_batch_packed(
+        words, lo, -(cfg.wf_width // 2), dist, fin, pats, txts, pen
+    )
+    for b, (p, t) in enumerate(pairs):
+        assert check_cigar(cigars[b], p, t)
+        assert affine_score(cigars[b], pen) == dist[b]

@@ -9,6 +9,7 @@ device meshes.
 """
 from .aligner import WfaAligner, align_pairs
 from .params import AlignmentOptions, default_band_width, default_max_error
+from .pipeline import align_pairs_pipelined
 from .types import MAX_SEQ_LEN, AlignmentResult, Penalties
 
 __version__ = "0.1.0"
@@ -16,6 +17,7 @@ __version__ = "0.1.0"
 __all__ = [
     "WfaAligner",
     "align_pairs",
+    "align_pairs_pipelined",
     "AlignmentOptions",
     "AlignmentResult",
     "Penalties",

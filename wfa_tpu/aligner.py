@@ -33,6 +33,11 @@ from .utils.logger import LOG
 
 _MIN_TIER = 64
 
+# Widest wavefront window the Pallas kernels take (the gather sweep over the
+# window is statically unrolled in 128-lane chunks); exact mode wider than
+# this runs width-capped with the certificate check (see _run_tier_pallas).
+PALLAS_MAX_WIDTH = 1024
+
 
 def _tier_of(length: int) -> int:
     t = _MIN_TIER
@@ -77,7 +82,10 @@ def _plan_tiers(
             score_limit = 2 * pen.o + pen.e * 2 * (tier + 2) + pen.x
         sched = build_schedule(pen, max_error, score_limit if not opts.banded else None)
         if opts.compute_cigar:
-            per_lane = sched.num_steps * w  # choice bytes
+            # Choice-table bytes per alignment, times 3 for XLA's lane padding
+            # and the while-loop's double-buffered carry — undersizing this
+            # can OOM the device on long-read exact-CIGAR tiles.
+            per_lane = sched.num_steps * w * 3
         else:
             per_lane = 3 * pen.active_working_set * w * 4 * 2
         per_lane = max(per_lane, 1)
@@ -93,22 +101,54 @@ def _plan_tiers(
 def _run_tier_pallas(
     patterns, texts, idxs, plan, opts, max_error, band, results, need_cpu
 ):
-    """Run one length tier through the Pallas TPU kernel (distance mode)."""
+    """Run one length tier through the Pallas TPU kernels (distance or CIGAR
+    mode; CIGAR decodes the kernel's nibble-packed choice table on the host,
+    native OpenMP decoder when available)."""
     import jax.numpy as jnp
 
     from .ops.engine_pallas import LANE, PallasConfig, align_batch_pallas
 
+    import jax
+
     pen = opts.penalties
     tile = 8
-    bsz = _round_up(len(idxs), tile)
-    pats = [patterns[i] for i in idxs] + [b""] * (bsz - len(idxs))
-    txts = [texts[i] for i in idxs] + [b""] * (bsz - len(idxs))
+    ndev = jax.device_count() if opts.data_parallel else 1
     nwp = _round_up(plan.tier // 16 + 8, LANE)
     w = _round_up(plan.wf_width, LANE)
+    cigar = opts.compute_cigar
 
-    pat_w, p_len, p_ok = pack_batch(pats, nwp)
-    txt_w, t_len, t_ok = pack_batch(txts, nwp)
-    valid = p_ok & t_ok
+    # Exact mode runs in a width-capped window with a post-hoc certificate:
+    # leaving a centered ±W/2 window costs at least o + e*(W/2+1), so any
+    # result with dist < that bound is provably optimal even though the
+    # window truncated the wavefronts (truncation only removes paths).
+    # Uncertified pairs demote to the CPU fallback.  This keeps arbitrarily
+    # long reads / max_error on the Pallas kernel at bounded VMEM.
+    full_window = opts.banded or w >= plan.wf_width
+    if not opts.banded:
+        w = min(w, PALLAS_MAX_WIDTH)
+        full_window = w >= plan.wf_width
+    cert_bound = pen.o + pen.e * (w // 2 + 1)
+
+    if cigar:
+        sched = build_schedule(
+            pen, max_error, plan.score_limit if not opts.banded else None
+        )
+        score_cap = sched.unfinished_score + 1
+        if not full_window:
+            # Scores past the certificate bound can never certify; cap the
+            # loop and the choice table accordingly.
+            score_cap = min(score_cap, cert_bound + 1)
+        # The HBM choice table is (score_cap/8) x B x W int32; bound the
+        # per-call batch by the memory budget (lib/align.cu's per-batch
+        # backtrace-pool sizing analog).
+        bytes_per_lane = (score_cap // 8 + 2) * w * 4
+        call_b = max(
+            tile, min(4096, opts.memory_budget_bytes // max(bytes_per_lane, 1))
+        )
+        call_b = _round_up(call_b, tile)
+    else:
+        score_cap = 0
+        call_b = _round_up(len(idxs), tile)
 
     cfg = PallasConfig(
         penalties=pen,
@@ -116,21 +156,75 @@ def _run_tier_pallas(
         wf_width=w,
         tile_batch=tile,
         band=band,
+        compute_cigar=cigar,
+        score_cap=score_cap,
     )
-    out = align_batch_pallas(
-        cfg,
-        jnp.asarray(pat_w), jnp.asarray(txt_w),
-        jnp.asarray(p_len), jnp.asarray(t_len), jnp.asarray(valid),
-    )
-    dist = np.asarray(out["distance"])
-    fin = np.asarray(out["finished"])
-    for b, i in enumerate(idxs):
-        if fin[b]:
-            results[i] = AlignmentResult(
-                error=int(dist[b]), cigar="", finished_on_accelerator=True
-            )
+
+    for start in range(0, len(idxs), call_b):
+        chunk = idxs[start : start + call_b]
+        bsz = _round_up(len(chunk), tile * ndev)
+        pats = [patterns[i] for i in chunk] + [b""] * (bsz - len(chunk))
+        txts = [texts[i] for i in chunk] + [b""] * (bsz - len(chunk))
+
+        pat_w, p_len, p_ok = pack_batch(pats, nwp)
+        txt_w, t_len, t_ok = pack_batch(txts, nwp)
+        valid = p_ok & t_ok
+
+        dev_args = (
+            jnp.asarray(pat_w), jnp.asarray(txt_w),
+            jnp.asarray(p_len), jnp.asarray(t_len), jnp.asarray(valid),
+        )
+        if ndev > 1:
+            from .parallel.mesh import align_batch_pallas_sharded, data_mesh
+
+            out = align_batch_pallas_sharded(cfg, data_mesh(), *dev_args)
         else:
-            need_cpu[i] = True
+            out = align_batch_pallas(cfg, *dev_args)
+        dist = np.asarray(out["distance"])
+        fin = np.asarray(out["finished"])
+
+        cigars: list[str | None] = [None] * bsz
+        if cigar:
+            # Fetch only the choice rows the traceback can reach — device-side
+            # slice before the D2H transfer (scores above max(dist) are never
+            # visited by the decoder).
+            dmax = int(dist[fin].max(initial=0))
+            rows = min(out["choice_words"].shape[0], dmax // 8 + 2)
+            words = np.asarray(out["choice_words"][:rows])
+            lo = None
+            if opts.banded:
+                lo_w = min(
+                    out["lo_trace"].shape[1], _round_up(dmax + 2, 128)
+                )
+                lo = np.asarray(out["lo_trace"][:, :lo_w])
+            lo_const = -(w // 2)
+            if native.available():
+                cigars, _ = native.traceback_batch_packed(
+                    words, lo, lo_const, dist, fin, pats, txts, pen
+                )
+            else:
+                from .traceback import recover_cigar_packed
+
+                cigars = [
+                    recover_cigar_packed(
+                        words[:, b, :],
+                        lo[b] if lo is not None else None,
+                        lo_const, pen, int(dist[b]), pats[b], txts[b],
+                    )
+                    if fin[b]
+                    else None
+                    for b in range(bsz)
+                ]
+
+        for b, i in enumerate(chunk):
+            if fin[b] and (full_window or int(dist[b]) < cert_bound):
+                results[i] = AlignmentResult(
+                    error=int(dist[b]),
+                    cigar=cigars[b] or "",
+                    finished_on_accelerator=True,
+                )
+            else:
+                need_cpu[i] = True
 
 
 def align_pairs(
@@ -173,21 +267,21 @@ def align_pairs(
 
     band = opts.resolved_band() if opts.banded else -1
 
-    # Engine choice: the Pallas kernels are the TPU fast path (distance mode
-    # for now); the XLA engine is the portable reference and the CIGAR path.
+    # Engine choice: the Pallas kernels are the TPU fast path (distance and
+    # CIGAR); the XLA engine is the portable reference implementation.
     use_pallas = opts.backend == "pallas"
-    if opts.backend == "auto" and not opts.compute_cigar:
+    if opts.backend == "auto":
         import jax
 
         use_pallas = jax.default_backend() == "tpu"
 
     for plan in _plan_tiers(lens[device_idx], opts, max_error):
         idxs = [device_idx[j] for j in plan.indices]
-        # The Pallas kernel statically unrolls its gather sweep over the
-        # wavefront window, so very wide exact windows (huge max_error on
-        # long sequences) stay on the XLA engine for now.
+        # Banded windows wider than the Pallas gather cap fall back to the
+        # XLA engine; exact mode always runs on Pallas (wide windows get
+        # width-capped + certified inside _run_tier_pallas).
         w_pad = _round_up(plan.wf_width, 128)
-        if use_pallas and not opts.compute_cigar and w_pad <= 1024:
+        if use_pallas and (not opts.banded or w_pad <= PALLAS_MAX_WIDTH):
             _run_tier_pallas(
                 patterns, texts, idxs, plan, opts, max_error, band,
                 results, need_cpu,
@@ -210,9 +304,12 @@ def align_pairs(
                 sched.num_steps, dtype=np.int32
             )
 
+        import jax
+
+        ndev = jax.device_count() if opts.data_parallel else 1
         for start in range(0, len(idxs), plan.tile_batch):
             chunk = idxs[start : start + plan.tile_batch]
-            bsz = plan.tile_batch
+            bsz = _round_up(plan.tile_batch, 8 * ndev)
             pats = [patterns[i] for i in chunk] + [b""] * (bsz - len(chunk))
             txts = [texts[i] for i in chunk] + [b""] * (bsz - len(chunk))
 
@@ -220,21 +317,31 @@ def align_pairs(
             txt_w, t_len, t_ok = pack_batch(txts, plan.nwords)
             valid = p_ok & t_ok
 
-            out = align_batch_device(
-                cfg,
+            dev_args = (
                 jnp.asarray(pat_w),
                 jnp.asarray(txt_w),
                 jnp.asarray(p_len),
                 jnp.asarray(t_len),
                 jnp.asarray(valid),
             )
+            if ndev > 1:
+                from .parallel.mesh import align_batch_sharded, data_mesh
+
+                out = align_batch_sharded(cfg, data_mesh(), *dev_args)
+            else:
+                out = align_batch_device(cfg, *dev_args)
             dist = np.asarray(out["distance"])
             fin = np.asarray(out["finished"])
 
             cigars: list[str | None] = [None] * bsz
             if opts.compute_cigar:
-                choices = np.asarray(out["choices"])
-                lo_trace = np.asarray(out["lo_trace"])
+                # Fetch only steps the traceback can reach (device-side slice
+                # before the D2H transfer).
+                dmax = int(dist[fin].max(initial=0))
+                smax = int(step_of_score[min(dmax, len(step_of_score) - 1)])
+                rows = min(out["choices"].shape[0], smax + 2)
+                choices = np.asarray(out["choices"][:rows])
+                lo_trace = np.asarray(out["lo_trace"][:rows])
                 if native.available():
                     cigars, _ = native.traceback_batch(
                         choices, lo_trace, step_of_score, dist, fin,

@@ -16,8 +16,8 @@ import sys
 import time
 
 from . import native
-from .aligner import align_pairs
 from .params import AlignmentOptions
+from .pipeline import align_pairs_pipelined
 from .types import Penalties
 from .utils.io import SequenceBatch, read_fasta_pair, read_seq_file
 from .utils.logger import LOG, set_verbosity
@@ -122,10 +122,11 @@ def main(argv: list[str] | None = None) -> int:
         batch_size=args.batch_size,
         band=band if args.band is not None else -1,
         band_width=args.band_width,
+        backend=args.backend,
     )
 
     t0 = time.time()
-    results = align_pairs(batch.patterns, batch.texts, opts)
+    results = align_pairs_pipelined(batch.patterns, batch.texts, opts)
     wall = time.time() - t0
     print(
         f"Alignment computed. Wall time: {wall:.3f}s "

@@ -79,6 +79,15 @@ def get_lib() -> ct.CDLL:
         ct.c_int, ct.c_int, ct.c_int,
         ct.c_void_p, ct.c_int64, ct.c_void_p,
     ]
+    lib.wfa_traceback_batch_packed.restype = None
+    lib.wfa_traceback_batch_packed.argtypes = [
+        ct.c_void_p, ct.c_int64, ct.c_int64, ct.c_int64,
+        ct.c_void_p, ct.c_int64, ct.c_int32,
+        ct.c_void_p, ct.c_void_p,
+        ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+        ct.c_int, ct.c_int, ct.c_int,
+        ct.c_void_p, ct.c_int64, ct.c_void_p,
+    ]
     for name in ("wfa_read_seq_scan",):
         fn = getattr(lib, name)
         fn.restype = ct.c_int64
@@ -231,6 +240,63 @@ def traceback_batch(
     if bad.any():
         raise RuntimeError(
             f"traceback failed for {bad.sum()} alignments (codes "
+            f"{np.unique(status[bad])})"
+        )
+    cigars: list[str | None] = []
+    raw = cig_buf.tobytes()
+    for i in range(B):
+        if status[i] == 1:
+            s = raw[i * cigar_stride : (i + 1) * cigar_stride]
+            cigars.append(s.split(b"\0", 1)[0].decode())
+        else:
+            cigars.append(None)
+    return cigars, status
+
+
+def traceback_batch_packed(
+    words: np.ndarray,          # [C, B, W] int32 nibble-packed choices
+    lo_trace: np.ndarray | None,  # [B, lo_stride] int32 by score, or None
+    lo_const: int,
+    distances: np.ndarray,      # [B] int32
+    finished: np.ndarray,       # [B] bool
+    patterns: list[bytes],
+    texts: list[bytes],
+    pen: Penalties,
+    cigar_stride: int = 0,
+) -> tuple[list[str | None], np.ndarray]:
+    """Decode the Pallas engine's packed choice table into CIGARs."""
+    lib = get_lib()
+    C, B, W = words.shape
+    words = np.ascontiguousarray(words, dtype=np.int32)
+    distances = np.ascontiguousarray(distances, dtype=np.int32)
+    fin8 = np.ascontiguousarray(finished, dtype=np.int8)
+    if lo_trace is not None:
+        lo_trace = np.ascontiguousarray(lo_trace, dtype=np.int32)
+        lo_ptr, lo_stride = _ptr(lo_trace), lo_trace.shape[1]
+    else:
+        lo_ptr, lo_stride = None, 0
+    buf, p_off, t_off, p_len, t_len = _flat_seqs(patterns, texts)
+    status = np.zeros(B, dtype=np.int8)
+
+    if cigar_stride <= 0:
+        cigar_stride = max(64, 8 * int(distances.max(initial=0)) + 64)
+    while True:
+        cig_buf = np.zeros(B * cigar_stride, dtype=np.uint8)
+        lib.wfa_traceback_batch_packed(
+            _ptr(words), C, B, W,
+            lo_ptr, lo_stride, lo_const,
+            _ptr(distances), _ptr(fin8),
+            _ptr(buf), _ptr(p_off), _ptr(t_off), _ptr(p_len), _ptr(t_len),
+            pen.x, pen.o, pen.e,
+            _ptr(cig_buf), cigar_stride, _ptr(status),
+        )
+        if not (status == 2).any():
+            break
+        cigar_stride *= 4
+    bad = status > 2
+    if bad.any():
+        raise RuntimeError(
+            f"packed traceback failed for {bad.sum()} alignments (codes "
             f"{np.unique(status[bad])})"
         )
     cigars: list[str | None] = []

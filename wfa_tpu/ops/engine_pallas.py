@@ -1,4 +1,4 @@
-"""Pallas TPU kernel for batched gap-affine WFA (distance mode).
+"""Pallas TPU kernels for batched gap-affine WFA (distance + CIGAR modes).
 
 This is the performance path; wfa_tpu/ops/engine_xla.py is the portable
 reference implementation with identical semantics (cross-validated in tests).
@@ -23,6 +23,16 @@ onto the TPU, re-designed rather than translated:
   `tpu.dynamic_gather` lane-shuffles.  Mosaic's gather only shuffles within a
   128-lane vreg, so wide gathers run as a dynamic-range loop over 128-word
   table chunks (`_gather_wide`), skipping chunks no lane needs.
+* CIGAR mode records, per score and diagonal, a 4-bit backtrace choice
+  (2 bits: M's winning source; 1 bit each: I/D gap-extend vs gap-open) —
+  the same information as the reference's per-cell 2-bit backtrace vectors
+  (sequence_alignment_kernel.cu:101-123), but with a deterministic dense
+  layout instead of an atomic linked list.  Choices for 8 consecutive scores
+  are nibble-packed into one int32 lane and spilled to an HBM output by
+  double-buffered async DMA every 8 scores — the TPU-native analog of the
+  reference's offload_backtrace smem->global flush (BT_IS_FULL cadence,
+  sequence_alignment_kernel.cu:30-49).  Host code (C++/OpenMP) decodes the
+  CIGARs after the fact.
 
 Constraints: W and the packed-word count must be multiples of 128; offsets are
 int32 lanes (int16 packing is a future optimization).
@@ -48,6 +58,16 @@ def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
+# Choice encoding inside each 4-bit nibble (must match ops/engine_xla.py).
+M_FROM_X = 0
+M_FROM_I = 1
+M_FROM_D = 2
+I_FROM_EXTEND_BIT = 2
+D_FROM_EXTEND_BIT = 3
+
+SCORES_PER_WORD = 8  # 4-bit choices nibble-packed per int32 choice word
+
+
 @dataclasses.dataclass(frozen=True)
 class PallasConfig:
     penalties: Penalties
@@ -55,16 +75,36 @@ class PallasConfig:
     wf_width: int          # multiple of 128
     tile_batch: int = 8    # alignments per grid step (sublane dim)
     band: int = -1         # <0 exact; >0 banded re-center interval
+    compute_cigar: bool = False
+    # CIGAR mode: hard cap on the score loop (bounds the choice-table rows).
+    # Must be >= the highest score any lane can reach within max_steps — use
+    # build_schedule(...).unfinished_score.
+    score_cap: int = 0
+    # Perf-debugging knobs: skip the HBM choice spill / lo recording.
+    debug_skip_dma: bool = False
+    debug_skip_lo: bool = False
 
     def __post_init__(self):
         assert self.wf_width % LANE == 0
         assert self.penalties.active_working_set <= 32, (
             "existence bitmask holds 32 scores; max(o+e,x)+1 must be <= 32"
         )
+        if self.compute_cigar:
+            assert self.score_cap > 0, "CIGAR mode requires score_cap"
 
     @property
     def banded(self) -> bool:
         return self.band > 0
+
+    @property
+    def num_chunks(self) -> int:
+        """Choice-table rows: 8 scores per int32 nibble word, +1 slack row."""
+        return self.score_cap // SCORES_PER_WORD + 2
+
+    @property
+    def lo_pad(self) -> int:
+        """Padded by-score length of the banded lo_trace output."""
+        return _round_up(self.score_cap + 2 * LANE, LANE)
 
 
 def _gather_chunks(load_chunk, n_chunks: int, idx: jnp.ndarray, fill, dtype):
@@ -198,7 +238,7 @@ def _shift_k_plus_1(row):
     return jnp.where(lane == row.shape[1] - 1, NULL, rolled)
 
 
-def _distance_kernel(cfg: PallasConfig):
+def _wfa_kernel(cfg: PallasConfig):
     x, o, e = cfg.penalties.x, cfg.penalties.o, cfg.penalties.e
     A = cfg.penalties.active_working_set
     W = cfg.wf_width
@@ -206,9 +246,21 @@ def _distance_kernel(cfg: PallasConfig):
     W2 = W // 2
     BIG = np.int32(1 << 20)
     banded = cfg.banded
+    cigar = cfg.compute_cigar
 
-    def kernel(pat_ref, txt_ref, plen_ref, tlen_ref, valid_ref,
-               dist_ref, fin_ref, state_ref, win_ref):
+    def kernel(*refs):
+        if cigar and banded:
+            (pat_ref, txt_ref, plen_ref, tlen_ref, valid_ref,
+             dist_ref, fin_ref, choices_ref, lo_ref,
+             state_ref, win_ref, stage_ref, sem) = refs
+        elif cigar:
+            (pat_ref, txt_ref, plen_ref, tlen_ref, valid_ref,
+             dist_ref, fin_ref, choices_ref,
+             state_ref, win_ref, stage_ref, sem) = refs
+        else:
+            (pat_ref, txt_ref, plen_ref, tlen_ref, valid_ref,
+             dist_ref, fin_ref, state_ref, win_ref) = refs
+        gi = pl.program_id(0)
         plen = plen_ref[:]            # [BT, 1]
         tlen = tlen_ref[:]
         valid = valid_ref[:]          # [BT, 1] int32 0/1 (Mosaic dislikes
@@ -252,8 +304,21 @@ def _distance_kernel(cfg: PallasConfig):
             ext = win_ref[pl.ds(A + slot, 1), :, :][0]
             return lo, ext
 
+        def _flush_dma(slot, row):
+            """Async copy of one staged choice row to the HBM choice table."""
+            return pltpu.make_async_copy(
+                stage_ref.at[slot],
+                choices_ref.at[row, pl.ds(gi * BT, BT), :],
+                sem.at[slot],
+            )
+
         def body(carry):
-            d, steps, m_bits, i_bits, done, fin, dist = carry
+            if cigar and banded:
+                d, steps, m_bits, i_bits, done, fin, dist, chunk, lo_buf = carry
+            elif cigar:
+                d, steps, m_bits, i_bits, done, fin, dist, chunk = carry
+            else:
+                d, steps, m_bits, i_bits, done, fin, dist = carry
             # Existence of the parent scores from the rolling bitmaps
             # (bit j == exist[d-1-j]).
             gap_oe = jax.lax.cond(
@@ -434,29 +499,138 @@ def _distance_kernel(cfg: PallasConfig):
                     win_ref[pl.ds(A + oslot, 1), :, :] = jnp.where(
                         live, ext_n, old_ext
                     )[None]
-                return done, fin, dist
+                if not cigar:
+                    return done, fin, dist
+                # 4-bit backtrace choice per lane (encoding shared with the
+                # XLA engine): bits 0-1 = M source, bit 2/3 = I/D gap-extend.
+                m_op = M_pb & 3
+                m_choice = jnp.where(
+                    m_op == int(AffineOp.SUB),
+                    M_FROM_X,
+                    jnp.where(m_op == int(AffineOp.INS), M_FROM_I, M_FROM_D),
+                )
+                ch = (
+                    m_choice
+                    | (((I_pb & 3) == 2).astype(jnp.int32) << I_FROM_EXTEND_BIT)
+                    | (((D_pb & 3) == 2).astype(jnp.int32) << D_FROM_EXTEND_BIT)
+                )
+                if banded:
+                    return done, fin, dist, ch, lo_n
+                return done, fin, dist, ch
 
-            done, fin, dist = jax.lax.cond(
-                m_exist,
-                compute,
-                lambda done, fin, dist: (done, fin, dist),
-                done, fin, dist,
-            )
+            if cigar and banded:
+                zero_pass = lambda done, fin, dist: (
+                    done, fin, dist,
+                    jnp.zeros((BT, W), jnp.int32), jnp.zeros((BT, 1), jnp.int32),
+                )
+            elif cigar:
+                zero_pass = lambda done, fin, dist: (
+                    done, fin, dist, jnp.zeros((BT, W), jnp.int32),
+                )
+            else:
+                zero_pass = lambda done, fin, dist: (done, fin, dist)
+
+            out = jax.lax.cond(m_exist, compute, zero_pass, done, fin, dist)
+            if cigar and banded:
+                done, fin, dist, ch, lo_val = out
+            elif cigar:
+                done, fin, dist, ch = out
+            else:
+                done, fin, dist = out
+
+            if cigar:
+                # Nibble-pack this score's choices into the rolling chunk and
+                # spill a full row of 8 scores to HBM by double-buffered DMA
+                # (offload_backtrace analog).
+                chunk = chunk | (ch << (4 * (d & 7)))
+                fi = d >> 3          # flush index when d & 7 == 7
+                do_flush = (d & 7) == 7
+
+                if not cfg.debug_skip_dma:
+                    @pl.when(do_flush)
+                    def _():
+                        slot = fi & 1
+
+                        @pl.when(fi >= 2)
+                        def _():
+                            _flush_dma(slot, fi - 2).wait()
+
+                        stage_ref[pl.ds(slot, 1), :, :] = chunk[None]
+                        _flush_dma(slot, fi).start()
+
+                chunk = jnp.where(do_flush, 0, chunk)
+
+            if cigar and banded and not cfg.debug_skip_lo:
+                # Buffer the per-score window base; spill 128 scores at a time
+                # with one aligned lane store.
+                lane128 = jax.lax.broadcasted_iota(jnp.int32, (BT, LANE), 1)
+                lo_buf = jnp.where(lane128 == (d & (LANE - 1)), lo_val, lo_buf)
+
+                @pl.when((d & (LANE - 1)) == LANE - 1)
+                def _():
+                    base = pl.multiple_of((d >> 7) * LANE, LANE)
+                    lo_ref[:, pl.ds(base, LANE)] = lo_buf
 
             steps = steps + jnp.where(gap, 1, 0)
             m_bits = (m_bits << 1) | jnp.where(m_exist, jnp.uint32(1), 0)
             i_bits = (i_bits << 1) | jnp.where(gap, jnp.uint32(1), 0)
+            if cigar and banded:
+                return (d + 1, steps, m_bits, i_bits, done, fin, dist,
+                        chunk, lo_buf)
+            if cigar:
+                return d + 1, steps, m_bits, i_bits, done, fin, dist, chunk
             return d + 1, steps, m_bits, i_bits, done, fin, dist
 
         def cond(carry):
-            d, steps, _, _, done, _, _ = carry
-            return (steps < cfg.max_steps - 1) & (jnp.min(done) == 0)
+            d, steps, done = carry[0], carry[1], carry[4]
+            alive = (steps < cfg.max_steps - 1) & (jnp.min(done) == 0)
+            if cigar:
+                alive = alive & (d < cfg.score_cap)
+            return alive
 
-        d_end, _, _, _, done, fin, dist = jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(1), jnp.int32(1), jnp.uint32(1), jnp.uint32(0),
-             done0, fin0, dist0),
-        )
+        carry0 = [jnp.int32(1), jnp.int32(1), jnp.uint32(1), jnp.uint32(0),
+                  done0, fin0, dist0]
+        if cigar:
+            carry0.append(jnp.zeros((BT, W), jnp.int32))
+        if cigar and banded:
+            carry0.append(jnp.zeros((BT, LANE), jnp.int32))
+        final = jax.lax.while_loop(cond, body, tuple(carry0))
+        d_end, _, _, _, done, fin, dist = final[:7]
+
+        if cigar:
+            # Flush the trailing partial chunk, then drain outstanding DMAs.
+            chunk_last = final[7]
+            fi_last = d_end >> 3
+            has_resid = (d_end & 7) != 0
+
+            @pl.when(has_resid)
+            def _():
+                slot = fi_last & 1
+
+                @pl.when(fi_last >= 2)
+                def _():
+                    _flush_dma(slot, fi_last - 2).wait()
+
+                stage_ref[pl.ds(slot, 1), :, :] = chunk_last[None]
+                _flush_dma(slot, fi_last).start()
+
+            total = fi_last + jnp.where(has_resid, 1, 0)
+
+            @pl.when(total >= 1)
+            def _():
+                _flush_dma((total - 1) & 1, 0).wait()
+
+            @pl.when(total >= 2)
+            def _():
+                _flush_dma((total - 2) & 1, 0).wait()
+
+        if cigar and banded:
+            lo_last = final[8]
+
+            @pl.when((d_end & (LANE - 1)) != 0)
+            def _():
+                base = pl.multiple_of((d_end >> 7) * LANE, LANE)
+                lo_ref[:, pl.ds(base, LANE)] = lo_last
 
         # Unfinished lanes report the score after the last processed
         # iteration, like the reference's exit path.
@@ -470,8 +644,7 @@ def _distance_kernel(cfg: PallasConfig):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def align_batch_pallas(
+def align_batch_pallas_impl(
     cfg: PallasConfig,
     pat: jnp.ndarray,    # [B, NWP] uint32, NWP % 128 == 0
     txt: jnp.ndarray,
@@ -479,40 +652,63 @@ def align_batch_pallas(
     tlen: jnp.ndarray,
     valid: jnp.ndarray,  # [B] bool
 ):
+    """Unjitted kernel invocation — composable under jit / shard_map."""
     B, NWP = pat.shape
     BT = cfg.tile_batch
     assert B % BT == 0 and NWP % LANE == 0
     grid = (B // BT,)
     A = cfg.penalties.active_working_set
 
-    kernel = _distance_kernel(cfg)
+    tile_spec = lambda w: pl.BlockSpec(
+        (BT, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_specs = [tile_spec(1), tile_spec(1)]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+    ]
+    scratch = [
+        pltpu.VMEM((3 * A, BT, cfg.wf_width), jnp.int32),
+        pltpu.VMEM((2 * A, BT, 1), jnp.int32),
+    ]
+    if cfg.compute_cigar:
+        # The by-score choice table lives in HBM; the kernel streams rows into
+        # it by DMA from a 2-slot VMEM staging buffer.
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_shape.append(
+            jax.ShapeDtypeStruct((cfg.num_chunks, B, cfg.wf_width), jnp.int32)
+        )
+        if cfg.banded:
+            out_specs.append(tile_spec(cfg.lo_pad))
+            out_shape.append(jax.ShapeDtypeStruct((B, cfg.lo_pad), jnp.int32))
+        scratch += [
+            pltpu.VMEM((2, BT, cfg.wf_width), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+
+    kernel = _wfa_kernel(cfg)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BT, NWP), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BT, NWP), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            tile_spec(NWP), tile_spec(NWP),
+            tile_spec(1), tile_spec(1), tile_spec(1),
         ],
-        out_specs=[
-            pl.BlockSpec((BT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((3 * A, BT, cfg.wf_width), jnp.int32),
-            pltpu.VMEM((2 * A, BT, 1), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
     )(
         pat, txt,
         plen[:, None].astype(jnp.int32),
         tlen[:, None].astype(jnp.int32),
         valid[:, None].astype(jnp.int32),
     )
-    dist, fin = out
-    return {"distance": dist[:, 0], "finished": fin[:, 0] != 0}
+    res = {"distance": out[0][:, 0], "finished": out[1][:, 0] != 0}
+    if cfg.compute_cigar:
+        res["choice_words"] = out[2]
+        if cfg.banded:
+            res["lo_trace"] = out[3]
+    return res
+
+
+align_batch_pallas = jax.jit(align_batch_pallas_impl, static_argnames=("cfg",))

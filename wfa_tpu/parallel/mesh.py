@@ -77,3 +77,40 @@ def align_batch_sharded(
 
 def shard_count(mesh: Mesh | None) -> int:
     return int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def align_batch_pallas_sharded(
+    cfg,
+    mesh: Mesh,
+    pat,
+    txt,
+    plen,
+    tlen,
+    valid,
+):
+    """Shard-mapped Pallas engine: each chip runs the Pallas WFA kernel on
+    its batch shard (batch dim must be divisible by mesh size x tile_batch).
+
+    Choice tables and lo traces shard on their batch dimension, so CIGAR
+    decode can run per-host on local shards without any gather.
+    """
+    from ..ops.engine_pallas import align_batch_pallas_impl
+
+    in_specs = (P("data"), P("data"), P("data"), P("data"), P("data"))
+    out_specs = {"distance": P("data"), "finished": P("data")}
+    if cfg.compute_cigar:
+        out_specs["choice_words"] = P(None, "data", None)
+        if cfg.banded:
+            out_specs["lo_trace"] = P("data", None)
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_rep=False,
+    )
+    def run(pat_s, txt_s, plen_s, tlen_s, valid_s):
+        return align_batch_pallas_impl(
+            cfg, pat_s, txt_s, plen_s, tlen_s, valid_s
+        )
+
+    return run(pat, txt, plen, tlen, valid)

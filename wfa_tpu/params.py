@@ -69,6 +69,9 @@ class AlignmentOptions:
     # Device engine: "auto" uses the Pallas kernels on TPU where they apply,
     # the portable XLA engine elsewhere; "xla"/"pallas" force one.
     backend: str = "auto"
+    # Shard alignment batches over all visible devices (pure data parallelism
+    # over a 1-D mesh; SURVEY §2.4 item 5).  Ignored with one device.
+    data_parallel: bool = True
 
     def resolved_band(self) -> int:
         if self.band == 0:

@@ -169,3 +169,75 @@ def recover_cigar(
     target_k = len(text) - len(pattern)
     ops = walk_ops(choices, lo_trace, sched, distance, target_k)
     return ops_to_cigar(ops, pattern, text)
+
+
+def walk_ops_packed(
+    words: np.ndarray,        # [C, W] int32 nibble-packed choices for one pair
+    lo_of_score,              # callable score -> window base
+    pen: Penalties,
+    distance: int,
+    target_k: int,
+) -> list[int]:
+    """Backward walk over the Pallas engine's by-score nibble-packed table
+    (4-bit choice of score d at words[d >> 3, j] >> 4*(d & 7))."""
+    x, oe, e = pen.x, pen.o + pen.e, pen.e
+
+    ops_rev: list[int] = []
+    mat = 0
+    d = int(distance)
+    k = int(target_k)
+    while d > 0:
+        j = k - lo_of_score(d)
+        ch = (int(words[d >> 3, j]) >> (4 * (d & 7))) & 0xF
+        if mat == 0:
+            ops_rev.append(AffineOp.SUB)
+            c = ch & 3
+            if c == M_FROM_X:
+                d -= x
+            elif c == M_FROM_I:
+                mat = 1
+            else:
+                mat = 2
+        elif mat == 1:
+            ops_rev.append(AffineOp.INS)
+            if ch & 4:
+                d -= e
+            else:
+                mat = 0
+                d -= oe
+            k -= 1
+        else:
+            ops_rev.append(AffineOp.DEL)
+            if ch & 8:
+                d -= e
+            else:
+                mat = 0
+                d -= oe
+            k += 1
+    if mat != 0 or d != 0 or k != 0:
+        raise ValueError(
+            f"packed traceback did not close at origin (mat={mat} d={d} k={k})"
+        )
+    ops_rev.reverse()
+    return ops_rev
+
+
+def recover_cigar_packed(
+    words: np.ndarray,          # [C, W] int32 for one alignment
+    lo_trace: np.ndarray | None,  # [>=max_score] int32 by score, or None
+    lo_const: int,
+    pen: Penalties,
+    distance: int,
+    pattern: bytes,
+    text: bytes,
+) -> str:
+    """CIGAR recovery from the Pallas kernel's packed choice table."""
+    if distance == 0:
+        return f"{len(text)}M"
+    if lo_trace is None:
+        lo_of = lambda d: lo_const
+    else:
+        lo_of = lambda d: int(lo_trace[d])
+    target_k = len(text) - len(pattern)
+    ops = walk_ops_packed(words, lo_of, pen, distance, target_k)
+    return ops_to_cigar(ops, pattern, text)
