@@ -14,6 +14,31 @@ requires_tpu = pytest.mark.skipif(
 
 
 @requires_tpu
+def test_pallas_golden_10K_on_hw():
+    """Full 100 x 10kbp reference dataset through the production path: the
+    width-capped exact Pallas kernel runs first, its certificate rejects
+    these high-divergence pairs (distance ~2700 > o + e*(W/2+1)), and the
+    exact CPU engine must then reproduce every golden score."""
+    import json
+    from pathlib import Path
+
+    from wfa_tpu.aligner import align_pairs
+    from wfa_tpu.params import AlignmentOptions
+    from wfa_tpu.types import Penalties
+    from wfa_tpu.utils.io import read_seq_file
+
+    data = Path(__file__).parent / "data"
+    batch = read_seq_file(data / "seq_10K_n100.seq")
+    golden = json.loads((data / "seq_10K_n100.golden.json").read_text())
+    expect = [-v for v in golden["results_10K_n100_x2o3e1"]]
+    opts = AlignmentOptions(
+        penalties=Penalties(2, 3, 1), max_error=3000, backend="pallas"
+    )
+    res = align_pairs(batch.patterns, batch.texts, opts)
+    assert [r.error for r in res] == expect
+
+
+@requires_tpu
 @pytest.mark.parametrize("band", [-1, 10])
 def test_pallas_cigar_on_hw(band):
     import jax.numpy as jnp

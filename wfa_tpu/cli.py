@@ -44,6 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-p", "--print-output", action="store_true", help="print output to stderr")
     p.add_argument("-O", "--output-verbose", action="store_true", help="append pattern/text columns to the output")
     p.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto", help="device engine selection")
+    p.add_argument("--profile", metavar="DIR", help="write a JAX profiler trace of the alignment run to DIR")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -66,24 +67,39 @@ def main(argv: list[str] | None = None) -> int:
     if args.verbose:
         set_verbosity("DEBUG")
 
-    if args.input_seq:
-        if native.available():
-            pats, txts = native.read_seq_native(args.input_seq)
-            batch = SequenceBatch(pats, txts)
-            if args.num_alignments:
-                batch = SequenceBatch(
-                    batch.patterns[: args.num_alignments],
-                    batch.texts[: args.num_alignments],
+    # Device detection banner (tools/aligner.c:189-204 analog).
+    from .utils.device_query import describe
+    from .utils.timers import device_trace, timed
+
+    LOG.info("Detected %s", describe())
+
+    with timed("file read"):
+        if args.input_seq:
+            if native.available():
+                pats, txts = native.read_seq_native(args.input_seq)
+                batch = SequenceBatch(pats, txts)
+                if args.num_alignments:
+                    batch = SequenceBatch(
+                        batch.patterns[: args.num_alignments],
+                        batch.texts[: args.num_alignments],
+                    )
+            else:
+                batch = read_seq_file(args.input_seq, args.num_alignments)
+        elif args.input_fasta_query and args.input_fasta_target:
+            if native.available():
+                pats, txts = native.read_fasta_native(
+                    args.input_fasta_query, args.input_fasta_target
+                )
+                n = args.num_alignments or len(pats)
+                batch = SequenceBatch(pats[:n], txts[:n])
+            else:
+                batch = read_fasta_pair(
+                    args.input_fasta_query, args.input_fasta_target,
+                    args.num_alignments,
                 )
         else:
-            batch = read_seq_file(args.input_seq, args.num_alignments)
-    elif args.input_fasta_query and args.input_fasta_target:
-        batch = read_fasta_pair(
-            args.input_fasta_query, args.input_fasta_target, args.num_alignments
-        )
-    else:
-        LOG.error("No input file provided.")
-        return 1
+            LOG.error("No input file provided.")
+            return 1
 
     pen = _parse_penalties(args.affine_penalties)
     LOG.info("Penalties: M=0, X=%d, O=%d, E=%d.", pen.x, pen.o, pen.e)
@@ -115,18 +131,24 @@ def main(argv: list[str] | None = None) -> int:
         if band == 0:
             band = 25
 
+    # Default pipeline batch = N/10 (lib/alignment_parameters.h:100-103).
+    batch_size = args.batch_size
+    if batch_size is None and len(batch) >= 20:
+        batch_size = max(1, len(batch) // 10)
+
     opts = AlignmentOptions(
         penalties=pen,
         max_error=max_error,
         compute_cigar=args.compute_cigar,
-        batch_size=args.batch_size,
+        batch_size=batch_size,
         band=band if args.band is not None else -1,
         band_width=args.band_width,
         backend=args.backend,
     )
 
     t0 = time.time()
-    results = align_pairs_pipelined(batch.patterns, batch.texts, opts)
+    with device_trace(args.profile):
+        results = align_pairs_pipelined(batch.patterns, batch.texts, opts)
     wall = time.time() - t0
     print(
         f"Alignment computed. Wall time: {wall:.3f}s "

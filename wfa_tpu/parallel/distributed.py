@@ -1,0 +1,72 @@
+"""Multi-host bring-up and batch partitioning.
+
+The reference is single-process, single-GPU (SURVEY §2.4 item 5); scaling the
+TPU framework across hosts is a new subsystem: `jax.distributed` initializes
+the multi-process runtime, the global mesh spans every chip of the pod slice,
+and each host feeds its own slice of the input batch.  Alignments are
+independent, so host-sharding is pure striding — no redistribution, and each
+host decodes/falls back only its local results.
+
+Typical use on each host of a pod slice:
+
+    from wfa_tpu.parallel.distributed import initialize, host_shard
+    initialize()                       # env-driven (TPU pods autodetect)
+    mine = host_shard(len(patterns))   # slice of the global batch
+    results = align_pairs_pipelined(
+        [patterns[i] for i in mine], [texts[i] for i in mine], opts)
+
+Scores can then be written per-host (merged offline) or gathered with
+`multihost_utils.process_allgather` when a single output file is needed.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Bring up the multi-process JAX runtime (idempotent).
+
+    With no arguments, relies on the TPU pod environment autodetection that
+    `jax.distributed.initialize` performs; explicit values support manual
+    bring-up (e.g. CPU/GPU multi-process testing).
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # Single-process environment (no coordinator configured): fine —
+        # everything degrades to one host.
+        pass
+
+
+def host_shard(n: int, process_id: int | None = None,
+               num_processes: int | None = None) -> np.ndarray:
+    """Indices of the global batch this host is responsible for.
+
+    Strided (not blocked) so every host sees the same length mix — keeps the
+    per-tier tile shapes, and therefore compile caches, identical across
+    hosts.
+    """
+    import jax
+
+    pid = jax.process_index() if process_id is None else process_id
+    nproc = jax.process_count() if num_processes is None else num_processes
+    return np.arange(pid, n, nproc)
+
+
+def allgather_scores(local_scores: np.ndarray) -> np.ndarray:
+    """Gather per-host score arrays to every host (DCN collective)."""
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(local_scores))
