@@ -195,6 +195,73 @@ def _bench_hifi_banded_cigar() -> tuple[str, float, str]:
     )
 
 
+def _mutate_batch(rng, seqs, err):
+    """Vectorized mutation: substitutions + short indels at ~err rate."""
+    out = []
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for s in seqs:
+        arr = np.frombuffer(s, dtype=np.uint8).copy()
+        n = len(arr)
+        nmut = int(n * err)
+        # 60% subs, 20% del, 20% ins
+        pos = rng.integers(0, n, size=nmut)
+        kinds = rng.random(nmut)
+        sub_pos = pos[kinds < 0.6]
+        arr[sub_pos] = bases[rng.integers(0, 4, size=len(sub_pos))]
+        del_pos = np.unique(pos[(kinds >= 0.6) & (kinds < 0.8)])
+        keep = np.ones(n, dtype=bool)
+        keep[del_pos] = False
+        arr = arr[keep]
+        ins_pos = np.sort(pos[kinds >= 0.8]) % max(len(arr), 1)
+        arr = np.insert(arr, ins_pos, bases[rng.integers(0, 4, size=len(ins_pos))])
+        out.append(arr.tobytes())
+    return out
+
+
+def _bench_nanopore_banded() -> tuple[str, float, str]:
+    """Synthetic Nanopore-like workload: 20kbp reads at ~6% divergence,
+    banded distance (the reference's approximate-mode chart workload,
+    README.md:123-137)."""
+    import jax.numpy as jnp
+
+    from wfa_tpu.ops.engine_pallas import PallasConfig, align_batch_pallas
+    from wfa_tpu.ops.packing import pack_batch
+    from wfa_tpu.types import Penalties
+
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n = 128
+    pats = [rng.choice(bases, size=20000).tobytes() for _ in range(n)]
+    txts = _mutate_batch(rng, pats, 0.06)
+
+    lmax = max(max(len(p), len(t)) for p, t in zip(pats, txts))
+    nwp = ((lmax // 16 + 16 + 127) // 128) * 128
+    pat, plen, vp = pack_batch(pats, nwp)
+    txt, tlen, vt = pack_batch(txts, nwp)
+    cfg = PallasConfig(
+        penalties=Penalties(2, 3, 1), max_steps=5000, wf_width=512,
+        tile_batch=8, band=25,
+    )
+    args = (
+        jnp.asarray(pat), jnp.asarray(txt),
+        jnp.asarray(plen), jnp.asarray(tlen), jnp.asarray(vp & vt),
+    )
+    out = align_batch_pallas(cfg, *args)
+    fin = np.asarray(out["finished"])
+    best = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        out = align_batch_pallas(cfg, *args)
+        np.asarray(out["distance"])
+        best = max(best, n / (time.time() - t0))
+    return (
+        f"alignments/sec/chip (Nanopore-like 20kbp 6%err, banded distance, "
+        f"{int(fin.sum())}/{n} finished)",
+        best,
+        "alignments/s",
+    )
+
+
 def main() -> int:
     try:
         metric, value, unit = _bench_hifi_banded()
@@ -205,12 +272,14 @@ def main() -> int:
 
     # Secondary metrics on stderr (the driver consumes exactly one JSON line
     # on stdout).
-    try:
-        m2, v2, u2 = _bench_hifi_banded_cigar()
-        print(f"[bench] {m2}: {v2:.2f} {u2}", file=sys.stderr)
-    except Exception as ex:
-        print(f"[bench] HiFi CIGAR failed ({type(ex).__name__}: {ex})",
-              file=sys.stderr)
+    for fn in (_bench_hifi_banded_cigar, _bench_short_exact,
+               _bench_nanopore_banded):
+        try:
+            m2, v2, u2 = fn()
+            print(f"[bench] {m2}: {v2:.2f} {u2}", file=sys.stderr)
+        except Exception as ex:
+            print(f"[bench] {fn.__name__} failed ({type(ex).__name__}: {ex})",
+                  file=sys.stderr)
 
     vs = 1.0
     baseline_path = ROOT / "benchmarks" / "baseline.json"

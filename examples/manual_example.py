@@ -42,7 +42,7 @@ def main() -> int:
         penalties=Penalties(x=5, o=3, e=2),
         # Kernel step budget; pairs needing more error go to the CPU engine
         # (reference: wfa_alignment_options_t.max_error).
-        max_error=200,
+        max_error=400,
         # Adaptive band: window of `band_width` diagonals, re-centered every
         # `band` scores (reference: -B/-t flags; band=0 would mean auto=25).
         band=25,

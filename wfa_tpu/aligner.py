@@ -147,7 +147,9 @@ def _run_tier_pallas(
         )
         call_b = _round_up(call_b, tile)
     else:
-        score_cap = 0
+        # Distance mode, truncated window: results past the certificate
+        # bound demote to CPU anyway, so stop the loop there.
+        score_cap = cert_bound + 1 if not full_window else 0
         call_b = _round_up(len(idxs), tile)
 
     cfg = PallasConfig(

@@ -76,15 +76,21 @@ class PallasConfig:
     tile_batch: int = 8    # alignments per grid step (sublane dim)
     band: int = -1         # <0 exact; >0 banded re-center interval
     compute_cigar: bool = False
-    # CIGAR mode: hard cap on the score loop (bounds the choice-table rows).
-    # Must be >= the highest score any lane can reach within max_steps — use
-    # build_schedule(...).unfinished_score.
+    # Hard cap on the score loop (required in CIGAR mode, where it bounds the
+    # choice-table rows; optional in distance mode, where it stops lanes that
+    # can no longer produce a certifiable result).  Must be >= the highest
+    # score any lane may usefully reach — build_schedule(...).unfinished_score
+    # or the width-certificate bound.
     score_cap: int = 0
     # LCP-extension strides (words of 16 bases): cheap first probe, then wide
     # strides for lanes still matching.  span=12 measured best on HiFi banded
     # (590 vs 473 aln/s at the old span=4); the sweep plateaus 8..16.
     extend_span: int = 12
     extend_first_span: int = 1
+    # Staged extension: serve span loads from a per-row 256-word sequence
+    # window gathered once per iteration (full-sweep fallback for lanes
+    # outside the window).
+    staged_extend: bool = True
     # Perf-debugging knobs: skip the HBM choice spill / lo recording.
     debug_skip_dma: bool = False
     debug_skip_lo: bool = False
@@ -148,14 +154,10 @@ def _gather_words(words_ref, idx: jnp.ndarray) -> jnp.ndarray:
     return _gather_chunks(load_chunk, n_chunks, idx, 0, jnp.uint32)
 
 
-def _load_span(words_ref, pos: jnp.ndarray, nwords: int) -> list:
-    """``nwords`` consecutive de-phased u32 words (16 bases each) starting at
-    base index `pos` — the generalization of the reference's two-word
-    de-phased load (common_alignment_kernels.cuh:53-84) to wider spans, so one
-    extension iteration can compare 16*nwords bases."""
-    idx = jax.lax.shift_right_logical(pos, 4)
-    phase = (pos & 15).astype(jnp.uint32)
-    raw = [_gather_words(words_ref, idx + i) for i in range(nwords + 1)]
+def _dephase(raw: list, phase: jnp.ndarray, nwords: int) -> list:
+    """Combine ``nwords + 1`` consecutive raw words into ``nwords`` de-phased
+    words (the reference's two-word shift trick,
+    common_alignment_kernels.cuh:53-84, generalized to wider spans)."""
     out = []
     for i in range(nwords):
         hi = raw[i] << (2 * phase)
@@ -166,6 +168,59 @@ def _load_span(words_ref, pos: jnp.ndarray, nwords: int) -> list:
     return out
 
 
+def _load_span(words_ref, pos: jnp.ndarray, nwords: int) -> list:
+    """``nwords`` consecutive de-phased u32 words (16 bases each) starting at
+    base index `pos`, gathered with a full sweep over the sequence table."""
+    idx = jax.lax.shift_right_logical(pos, 4)
+    phase = (pos & 15).astype(jnp.uint32)
+    raw = [_gather_words(words_ref, idx + i) for i in range(nwords + 1)]
+    return _dephase(raw, phase, nwords)
+
+
+_STAGE_CHUNKS = 2  # staged sequence window width, in 128-word chunks
+
+
+def _load_span_pair_staged(words_ref, pos, nwords, active):
+    """Staged variant of _load_span: the active lanes of one extension
+    iteration read words from a narrow range (their word indices are within
+    ~W/16 + span of each other — lanes that survive an iteration all advanced
+    by exactly 16*span bases, so the spread never grows), so gather a
+    256-word per-row window once and serve every span load from it.  Cuts
+    the gather sweep from (W/128)x(NWP/128) per load to (W/128)x2, behind a
+    full-sweep fallback for the rare out-of-window case.
+
+    Returns (raw list of nwords+1 words, scalar ok flag).
+    """
+    idx = jax.lax.shift_right_logical(pos, 4)
+    bigw = jnp.int32(1 << 24)
+    idx_a = jnp.where(active > 0, idx, bigw)
+    base = jnp.min(idx_a, axis=1, keepdims=True)      # [BT, 1]
+    base = jnp.where(base == bigw, 0, base)
+    rel = idx - base
+    need = nwords + 1
+    out_of_win = (active > 0) & (rel > _STAGE_CHUNKS * LANE - need)
+    ok = jnp.max(jnp.where(out_of_win, 1, 0)) == 0
+
+    bt = idx.shape[0]
+    lane_w = jax.lax.broadcasted_iota(
+        jnp.int32, (bt, _STAGE_CHUNKS * LANE), 1
+    )
+    stage = _gather_words(words_ref, base + lane_w)   # [BT, 256]
+
+    rels = jnp.where(active > 0, rel, 0)
+
+    def load_chunk_from_stage(tc):
+        return stage[:, tc * LANE : (tc + 1) * LANE]
+
+    raw = [
+        _gather_chunks(
+            load_chunk_from_stage, _STAGE_CHUNKS, rels + i, 0, jnp.uint32
+        )
+        for i in range(need)
+    ]
+    return raw, ok
+
+
 def _tail_mask(nxt: jnp.ndarray, limit: jnp.ndarray) -> jnp.ndarray:
     over = jnp.maximum(nxt - limit, 0)
     sh = jnp.minimum(2 * over, 32).astype(jnp.uint32)
@@ -174,7 +229,7 @@ def _tail_mask(nxt: jnp.ndarray, limit: jnp.ndarray) -> jnp.ndarray:
 
 
 def _extend(offs, k, pat_ref, txt_ref, plen, tlen,
-            span: int = 8, first_span: int = 1):
+            span: int = 8, first_span: int = 1, staged: bool = True):
     """Vectorized LCP extension (WF_extend_kernel analog).
 
     Two-phase: the first probe compares only ``first_span`` words (most lanes
@@ -197,8 +252,23 @@ def _extend(offs, k, pat_ref, txt_ref, plen, tlen,
             v, h, acc, active = state
             vc = jnp.clip(v, 0, plen)
             hc = jnp.clip(h, 0, tlen)
-            wps = _load_span(pat_ref, vc, nwords)
-            wts = _load_span(txt_ref, hc, nwords)
+            if staged:
+                raw_p, ok_p = _load_span_pair_staged(pat_ref, vc, nwords, active)
+                raw_t, ok_t = _load_span_pair_staged(txt_ref, hc, nwords, active)
+                wps, wts = jax.lax.cond(
+                    ok_p & ok_t,
+                    lambda: (
+                        _dephase(raw_p, (vc & 15).astype(jnp.uint32), nwords),
+                        _dephase(raw_t, (hc & 15).astype(jnp.uint32), nwords),
+                    ),
+                    lambda: (
+                        _load_span(pat_ref, vc, nwords),
+                        _load_span(txt_ref, hc, nwords),
+                    ),
+                )
+            else:
+                wps = _load_span(pat_ref, vc, nwords)
+                wts = _load_span(txt_ref, hc, nwords)
             # First-mismatch position across the span: word i contributes
             # 16*i + clz(diff_i)/2 when it is the first mismatching word.
             eq = jnp.full(v.shape, nb, jnp.int32)
@@ -299,7 +369,8 @@ def _wfa_kernel(cfg: PallasConfig):
         k0_row = lane - j0
         offs0 = jnp.where(lane == j0, 0, NULL)
         m0 = _extend(offs0, k0_row, pat_ref, txt_ref, plen, tlen,
-                     cfg.extend_span, cfg.extend_first_span)
+                     cfg.extend_span, cfg.extend_first_span,
+                     cfg.staged_extend)
         state_ref[pl.ds(0, 1), :, :] = m0[None]
 
         init_off = jnp.max(
@@ -467,7 +538,8 @@ def _wfa_kernel(cfg: PallasConfig):
                     _pack(I_new, int(AffineOp.INS)),
                 )
                 M_new = _extend(M_pb >> 2, k_row, pat_ref, txt_ref, plen, tlen,
-                                cfg.extend_span, cfg.extend_first_span)
+                                cfg.extend_span, cfg.extend_first_span,
+                                cfg.staged_extend)
 
                 if banded:
                     lane_live = lane <= ext_n
@@ -601,7 +673,7 @@ def _wfa_kernel(cfg: PallasConfig):
         def cond(carry):
             d, steps, done = carry[0], carry[1], carry[4]
             alive = (steps < cfg.max_steps - 1) & (jnp.min(done) == 0)
-            if cigar:
+            if cfg.score_cap > 0:
                 alive = alive & (d < cfg.score_cap)
             return alive
 
