@@ -17,6 +17,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cstdio>
+#include <climits>
 #include <vector>
 #include <string>
 #include <algorithm>
@@ -107,12 +108,20 @@ struct CigarBuf {
 };
 constexpr int OP_M = 4;
 
+// WFA-adaptive heuristic parameters (the reference enables WFA2-lib's
+// wfadaptive heuristic for the CPU pass iff the accelerator ran banded,
+// utils/wfa_cpu.c:40-48; these are WFA2's defaults).
+constexpr int kAdaptiveMinLength = 10;
+constexpr int kAdaptiveMaxDistDelta = 50;
+
 // One full alignment. Returns distance; fills `cigar` when non-null.
 // The forward pass stores one choice byte per computed (score, diagonal); the
 // backward walk + run-length emitter reproduce the device traceback exactly
 // (wfa_tpu/traceback.py; reference utils/cigar.c:96-272 semantics).
+// `adaptive` trims unpromising diagonals (heuristic, score >= optimal).
 static int align_one(const char* pat, int plen, const char* txt, int tlen,
-                     int x, int o, int e, std::string* cigar) {
+                     int x, int o, int e, std::string* cigar,
+                     bool adaptive = false) {
   const int target_k = tlen - plen;
   const offset_t target_off = tlen;
 
@@ -235,6 +244,41 @@ static int align_one(const char* pat, int plen, const char* txt, int tlen,
       w.m[k - lo] = extend(pat, plen, txt, tlen, k, m_cand);
     }
 
+    // WFA-adaptive reduction: drop diagonals whose distance-to-target
+    // exceeds the best by more than the threshold.
+    if (adaptive && hi - lo + 1 > kAdaptiveMinLength) {
+      auto d2t = [&](int k) -> long {
+        offset_t off = w.M(k);
+        if (off < 0) return LONG_MAX / 2;
+        long left_v = plen - (off - k);
+        long left_h = tlen - off;
+        return std::max(left_v, left_h);
+      };
+      long best = LONG_MAX / 2;
+      for (int k = lo; k <= hi; ++k) best = std::min(best, d2t(k));
+      int nlo = lo, nhi = hi;
+      while (nlo < target_k && nhi - nlo + 1 > kAdaptiveMinLength &&
+             d2t(nlo) - best > kAdaptiveMaxDistDelta)
+        ++nlo;
+      while (nhi > target_k && nhi - nlo + 1 > kAdaptiveMinLength &&
+             d2t(nhi) - best > kAdaptiveMaxDistDelta)
+        --nhi;
+      if (nlo > lo || nhi < hi) {
+        int nw = nhi - nlo + 1;
+        std::vector<offset_t> nm(w.m.begin() + (nlo - lo),
+                                 w.m.begin() + (nlo - lo) + nw);
+        std::vector<offset_t> ni(w.i.begin() + (nlo - lo),
+                                 w.i.begin() + (nlo - lo) + nw);
+        std::vector<offset_t> nd(w.d.begin() + (nlo - lo),
+                                 w.d.begin() + (nlo - lo) + nw);
+        w.m.swap(nm);
+        w.i.swap(ni);
+        w.d.swap(nd);
+        w.lo = nlo;
+        w.hi = nhi;
+      }
+    }
+
     if (std::abs(target_k) <= d && w.M(target_k) == target_off) {
       if (want_cigar) {
         // Backward walk over choice tables -> forward op replay.
@@ -325,11 +369,14 @@ int wfa_cpu_align_single(const char* pattern, int plen, const char* text,
 //                for distance-only); NUL-terminated, truncated-never: pairs
 //                whose CIGAR exceeds the stride get status 2.
 //   status       out int8[n]: 0 skipped, 1 ok, 2 cigar-overflow
+//   adaptive     != 0 enables the WFA-adaptive trimming heuristic (used when
+//                the accelerator ran banded, like utils/wfa_cpu.c:40-48);
+//                falls back to the exact pass if the heuristic dead-ends.
 void wfa_cpu_align_batch(const char* seqs, const int64_t* p_off,
                          const int64_t* t_off, const int32_t* p_len,
                          const int32_t* t_len, const int8_t* mask, int64_t n,
                          int x, int o, int e, int32_t* distances, char* cigars,
-                         int64_t cigar_stride, int8_t* status) {
+                         int64_t cigar_stride, int8_t* status, int adaptive) {
 #pragma omp parallel for schedule(dynamic, 1)
   for (int64_t i = 0; i < n; ++i) {
     if (!mask[i]) {
@@ -339,7 +386,12 @@ void wfa_cpu_align_batch(const char* seqs, const int64_t* p_off,
     std::string cig;
     std::string* cp = cigars ? &cig : nullptr;
     int dist = align_one(seqs + p_off[i], p_len[i], seqs + t_off[i], t_len[i],
-                         x, o, e, cp);
+                         x, o, e, cp, adaptive != 0);
+    if (dist < 0 && adaptive) {
+      if (cp) cig.clear();
+      dist = align_one(seqs + p_off[i], p_len[i], seqs + t_off[i], t_len[i],
+                       x, o, e, cp, false);
+    }
     distances[i] = dist;
     if (cigars) {
       if (static_cast<int64_t>(cig.size()) + 1 <= cigar_stride) {

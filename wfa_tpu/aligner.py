@@ -14,9 +14,9 @@ lib/align.cu:42-481 `launch_alignments`), redesigned for TPU execution:
 * CIGARs for device-finished pairs are decoded from the engine's choice
   tables by the native OpenMP decoder (utils/cigar.c analog).
 
-Deviation from the reference (documented): in banded mode the reference's CPU
-fallback enables WFA2-lib's *adaptive heuristic* (utils/wfa_cpu.c:48); our CPU
-fallback is always exact, so fallback scores can only be better-or-equal.
+Like the reference, the CPU fallback runs the WFA-adaptive heuristic when the
+device ran banded (utils/wfa_cpu.c:48) and exact otherwise; the pure-Python
+fallback engine is always exact.
 """
 from __future__ import annotations
 
@@ -70,6 +70,10 @@ def _plan_tiers(
 
     plans = []
     for tier, idxs in sorted(tiers.items()):
+        # Sort by length within the tier so each device tile holds
+        # similar-size alignments — tiles run until their slowest lane
+        # finishes, and length is the best free predictor of distance.
+        idxs.sort(key=lambda i: -int(lens[i]))
         if opts.banded:
             width = opts.band_width or default_band_width(max_error)
             w = min(width, 2 * (tier + 2) + 1)
@@ -380,8 +384,11 @@ def align_pairs(
         ctxts = [texts[i] for i in cpu_idx]
         mask = np.ones(len(cpats), dtype=np.int8)
         if native.available():
+            # Heuristic (WFA-adaptive) CPU pass iff the device ran banded,
+            # exact otherwise — utils/wfa_cpu.c:40-48 semantics.
             dist, cigs, _ = native.cpu_align_batch(
-                cpats, ctxts, pen, mask, opts.compute_cigar
+                cpats, ctxts, pen, mask, opts.compute_cigar,
+                adaptive=opts.banded,
             )
         else:
             from .utils.cpu_wfa import align_one_py

@@ -69,7 +69,7 @@ def get_lib() -> ct.CDLL:
     lib.wfa_cpu_align_batch.argtypes = [
         ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
         ct.c_void_p, ct.c_int64, ct.c_int, ct.c_int, ct.c_int,
-        ct.c_void_p, ct.c_void_p, ct.c_int64, ct.c_void_p,
+        ct.c_void_p, ct.c_void_p, ct.c_int64, ct.c_void_p, ct.c_int,
     ]
     lib.wfa_traceback_batch.restype = None
     lib.wfa_traceback_batch.argtypes = [
@@ -155,11 +155,15 @@ def cpu_align_batch(
     mask: np.ndarray,
     compute_cigar: bool,
     cigar_stride: int = 0,
+    adaptive: bool = False,
 ) -> tuple[np.ndarray, list[str | None], np.ndarray]:
     """OpenMP batch fallback (compute_alignments_cpu_threaded analog).
 
-    Returns (distances, cigars, status); cigars entries are None for skipped
-    pairs.  Retries with a larger stride on overflow.
+    ``adaptive`` enables the WFA-adaptive trimming heuristic — the reference
+    turns it on for the CPU pass when the device ran banded
+    (utils/wfa_cpu.c:40-48).  Returns (distances, cigars, status); cigars
+    entries are None for skipped pairs.  Retries with a larger stride on
+    overflow.
     """
     lib = get_lib()
     n = len(patterns)
@@ -167,6 +171,7 @@ def cpu_align_batch(
     mask8 = np.ascontiguousarray(mask, dtype=np.int8)
     dist = np.zeros(n, dtype=np.int32)
     status = np.zeros(n, dtype=np.int8)
+    adp = 1 if adaptive else 0
 
     if compute_cigar:
         if cigar_stride <= 0:
@@ -176,7 +181,7 @@ def cpu_align_batch(
             lib.wfa_cpu_align_batch(
                 _ptr(buf), _ptr(p_off), _ptr(t_off), _ptr(p_len), _ptr(t_len),
                 _ptr(mask8), n, pen.x, pen.o, pen.e,
-                _ptr(dist), _ptr(cig_buf), cigar_stride, _ptr(status),
+                _ptr(dist), _ptr(cig_buf), cigar_stride, _ptr(status), adp,
             )
             if not (status == 2).any():
                 break
@@ -193,7 +198,7 @@ def cpu_align_batch(
         lib.wfa_cpu_align_batch(
             _ptr(buf), _ptr(p_off), _ptr(t_off), _ptr(p_len), _ptr(t_len),
             _ptr(mask8), n, pen.x, pen.o, pen.e,
-            _ptr(dist), None, 0, _ptr(status),
+            _ptr(dist), None, 0, _ptr(status), adp,
         )
         cigars = [None] * n
     return dist, cigars, status
