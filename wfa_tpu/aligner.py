@@ -96,6 +96,11 @@ def _plan_tiers(
         tile = opts.tile_batch or max(
             8, min(2048, opts.memory_budget_bytes // per_lane)
         )
+        if opts.compute_cigar and w >= 2048:
+            # Very wide exact-CIGAR XLA tiles carry a GB-scale choice table
+            # through the while loop; keep them small (observed to exhaust
+            # the device past ~24 lanes at 10kbp).
+            tile = min(tile, 16)
         tile = min(_round_up(len(idxs), 8), _round_up(tile, 8))
         nwords = tier // 16 + 1
         plans.append(_TierPlan(tier, idxs, w, tile, nwords, score_limit))
