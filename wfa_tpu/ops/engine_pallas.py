@@ -83,9 +83,10 @@ class PallasConfig:
     # or the width-certificate bound.
     score_cap: int = 0
     # LCP-extension strides (words of 16 bases): cheap first probe, then wide
-    # strides for lanes still matching.  span=12 measured best on HiFi banded
-    # (590 vs 473 aln/s at the old span=4); the sweep plateaus 8..16.
-    extend_span: int = 12
+    # strides for lanes still matching.  span=16 with the 128-word staged
+    # window measured best on HiFi banded (1300 aln/s; sweep: 6->980, 8->1118,
+    # 12->1217, 16->1300, 24/32->~1240).
+    extend_span: int = 16
     extend_first_span: int = 1
     # Staged extension: serve span loads from a per-row 256-word sequence
     # window gathered once per iteration (full-sweep fallback for lanes
@@ -177,7 +178,8 @@ def _load_span(words_ref, pos: jnp.ndarray, nwords: int) -> list:
     return _dephase(raw, phase, nwords)
 
 
-_STAGE_CHUNKS = 2  # staged sequence window width, in 128-word chunks
+import os as _os_stage
+_STAGE_CHUNKS = int(_os_stage.environ.get("WFA_STAGE_CHUNKS", "1"))  # staged window width, 128-word chunks
 
 
 def _load_span_pair_staged(words_ref, pos, nwords, active):
