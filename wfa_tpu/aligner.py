@@ -171,9 +171,18 @@ def _run_tier_pallas(
         score_cap=score_cap,
     )
 
+    def _bucket(n: int) -> int:
+        """Round the device batch up to a power-of-two bucket so the number
+        of distinct compiled shapes stays logarithmic in the batch size."""
+        n = _round_up(n, tile * ndev)
+        b = tile * ndev
+        while b < n:
+            b *= 2
+        return b
+
     for start in range(0, len(idxs), call_b):
         chunk = idxs[start : start + call_b]
-        bsz = _round_up(len(chunk), tile * ndev)
+        bsz = _bucket(len(chunk))
         pats = [patterns[i] for i in chunk] + [b""] * (bsz - len(chunk))
         txts = [texts[i] for i in chunk] + [b""] * (bsz - len(chunk))
 

@@ -67,6 +67,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.verbose:
         set_verbosity("DEBUG")
 
+    # Persistent XLA compilation cache: kernel compiles survive across CLI
+    # invocations (the analog of the reference building its cubins once).
+    import os
+
+    cache_dir = os.environ.get(
+        "WFA_TPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "wfa_tpu_xla"),
+    )
+    if cache_dir and cache_dir != "0":
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     # Device detection banner (tools/aligner.c:189-204 analog).
     from .utils.device_query import describe
     from .utils.timers import device_trace, timed

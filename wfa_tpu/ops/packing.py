@@ -71,17 +71,72 @@ def pack_batch(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Pack a batch of sequences into a dense [B, out_words] u32 array.
 
+    Vectorized over the whole batch (one Python-level row copy per sequence,
+    then NumPy bit ops over the padded matrix) — the host-side analog of the
+    reference's one-block-per-sequence packing kernel grid
+    (lib/sequence_packing.cu:96-116).
+
     Returns (packed[B, out_words] u32, lengths[B] i32, valid[B] bool).
+    ``valid`` is False for non-ACGT content, length >= MAX_SEQ_LEN, or a
+    sequence longer than the packed buffer.
     """
     b = len(seqs)
-    packed = np.zeros((b, out_words), dtype=np.uint32)
-    lengths = np.zeros(b, dtype=np.int32)
-    valid = np.zeros(b, dtype=bool)
-    for i, s in enumerate(seqs):
-        arr = np.frombuffer(s, dtype=np.uint8) if isinstance(s, (bytes, bytearray)) else s
-        lengths[i] = arr.shape[0]
-        packed[i], valid[i] = pack_ascii(arr, out_words)
-    return packed, lengths, valid
+    seqs_b = [
+        s if isinstance(s, (bytes, bytearray)) else bytes(s) for s in seqs
+    ]
+    flat = np.frombuffer(b"".join(seqs_b), dtype=np.uint8)
+    lengths = np.fromiter(
+        (len(s) for s in seqs_b), dtype=np.int64, count=b
+    )
+    # Only do real work up to the longest sequence; the lane-aligned tail of
+    # the output is plain zero padding.
+    full_cap = out_words * BASES_PER_WORD
+    content_words = min(
+        out_words,
+        (int(lengths.max(initial=0)) + BASES_PER_WORD - 1) // BASES_PER_WORD,
+    )
+    cap = content_words * BASES_PER_WORD
+    starts = np.zeros(b, dtype=np.int64)
+    if b > 1:
+        np.cumsum(lengths[:-1], out=starts[1:])
+    # Ragged -> padded matrix with one vectorized gather: read straight past
+    # each row's end (clamped to the buffer) and zero the overhang.  int32
+    # index math where the buffer allows — int64 broadcasting is an order of
+    # magnitude slower on this host.
+    itype = np.int32 if flat.size < 2**31 - cap - 1 else np.int64
+    col = np.arange(max(cap, 1), dtype=itype)
+    idx = np.minimum(
+        starts.astype(itype)[:, None] + col, itype(max(flat.size - 1, 0))
+    )
+    mat = flat[idx] if flat.size else np.zeros((b, max(cap, 1)), np.uint8)
+    mat *= col < lengths[:, None]
+    lengths = lengths.astype(np.int32)
+
+    in_buf = np.minimum(lengths, cap)
+    acgt_count = _ACGT[mat].sum(axis=1, dtype=np.int64)
+    valid = (
+        (acgt_count == in_buf)
+        & (lengths < MAX_SEQ_LEN)
+        & (lengths <= full_cap)
+    )
+
+    # Build the big-endian-base-order words bytewise: byte j of a word holds
+    # bases 4j..4j+3 in bit pairs (7-6, 5-4, 3-2, 1-0), so four strided u8
+    # ops + a big-endian u32 view produce the packed array without a 16-wide
+    # u32 reduction.
+    cod = (mat[:, :cap] & 6) >> 1
+    by = (
+        (cod[:, 0::4] << 6)
+        | (cod[:, 1::4] << 4)
+        | (cod[:, 2::4] << 2)
+        | cod[:, 3::4]
+    )
+    out = np.zeros((b, out_words), np.uint32)
+    if cap:
+        out[:, :content_words] = (
+            np.ascontiguousarray(by).view(">u4").astype(np.uint32)
+        ).reshape(b, content_words)
+    return out, lengths, valid
 
 
 def unpack_words(words: np.ndarray, length: int) -> np.ndarray:
