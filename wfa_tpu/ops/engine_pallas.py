@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -178,8 +179,9 @@ def _load_span(words_ref, pos: jnp.ndarray, nwords: int) -> list:
     return _dephase(raw, phase, nwords)
 
 
-import os as _os_stage
-_STAGE_CHUNKS = int(_os_stage.environ.get("WFA_STAGE_CHUNKS", "1"))  # staged window width, 128-word chunks
+# Staged sequence-window width in 128-word chunks; 1 measured best for the
+# bench workloads (overridable per-process for long-read tuning).
+_STAGE_CHUNKS = int(os.environ.get("WFA_STAGE_CHUNKS", "1"))
 
 
 def _load_span_pair_staged(words_ref, pos, nwords, active):
