@@ -91,9 +91,13 @@ def test_packed_decoder_matches_step_decoder(band):
                 assert cigars[b] == ref_cigars[b]
 
 
-@pytest.mark.parametrize("band", [-1, 10])
-def test_pallas_matches_xla(band):
-    pen = Penalties(2, 3, 1)
+@pytest.mark.parametrize(
+    "band,pen",
+    [(-1, Penalties(2, 3, 1)), (10, Penalties(2, 3, 1)),
+     (-1, Penalties(1, 0, 1)), (10, Penalties(4, 1, 2))],
+    ids=["exact", "banded", "exact-o0", "banded-x4o1e2"],
+)
+def test_pallas_matches_xla(band, pen):
     pairs = make_pairs(17, sizes=(10, 60, 120), errs=(0.0, 0.1))
     pairs = (pairs + pairs)[:16]
     nwp = 128

@@ -294,6 +294,10 @@ def align_pairs(
         import jax
 
         use_pallas = jax.default_backend() == "tpu"
+    # The Pallas kernel's rolling existence bitmasks hold 32 scores; larger
+    # working sets (max(o+e, x) + 1 > 32) run on the XLA engine.
+    if pen.active_working_set > 32:
+        use_pallas = False
 
     for plan in _plan_tiers(lens[device_idx], opts, max_error):
         idxs = [device_idx[j] for j in plan.indices]
