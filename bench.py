@@ -22,7 +22,24 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent
 sys.path.insert(0, str(ROOT))
 
+import os
+
 import numpy as np
+
+
+def _enable_compile_cache() -> None:
+    import jax
+
+    cache_dir = os.environ.get(
+        "WFA_TPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "wfa_tpu_xla"),
+    )
+    if cache_dir and cache_dir != "0":
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+_enable_compile_cache()
 
 
 def _bench_hifi_banded() -> tuple[str, float, str]:

@@ -170,6 +170,12 @@ def _run_tier_pallas(
         compute_cigar=cigar,
         score_cap=score_cap,
     )
+    LOG.debug(
+        "pallas tier=%d pairs=%d W=%d nwp=%d band=%d cigar=%s score_cap=%d "
+        "call_b=%d full_window=%s cert_bound=%d devices=%d",
+        plan.tier, len(idxs), w, nwp, band, cigar, score_cap, call_b,
+        full_window, cert_bound, ndev,
+    )
 
     def _bucket(n: int) -> int:
         """Round the device batch up to a power-of-two bucket so the number
@@ -454,5 +460,11 @@ class WfaAligner:
         return len(self._patterns)
 
     def align(self) -> list[AlignmentResult]:
-        self.results = align_pairs(self._patterns, self._texts, self.options)
+        # Honors options.batch_size via the streaming pipeline
+        # (wfagpu_set_batch_size semantics, lib/aligner.c:212).
+        from .pipeline import align_pairs_pipelined
+
+        self.results = align_pairs_pipelined(
+            self._patterns, self._texts, self.options
+        )
         return self.results

@@ -145,6 +145,27 @@ def main(argv: list[str] | None = None) -> int:
         if band == 0:
             band = 25
 
+    # Multi-host run: each process aligns its strided shard of the input and
+    # writes a per-process output file (merge offline or with
+    # parallel.distributed.allgather_scores).  max_error above was derived
+    # from the global first pair, so every host compiles identical shapes.
+    import jax
+
+    if jax.process_count() > 1:
+        from .parallel.distributed import host_shard
+
+        mine = host_shard(len(batch))
+        batch = SequenceBatch(
+            [batch.patterns[i] for i in mine],
+            [batch.texts[i] for i in mine],
+        )
+        if args.output_file:
+            args.output_file = f"{args.output_file}.{jax.process_index()}"
+        LOG.info(
+            "multi-host: process %d/%d aligning %d pairs",
+            jax.process_index(), jax.process_count(), len(batch),
+        )
+
     # Default pipeline batch = N/10 (lib/alignment_parameters.h:100-103).
     batch_size = args.batch_size
     if batch_size is None and len(batch) >= 20:
