@@ -120,7 +120,11 @@ def _run_tier_pallas(
     import jax
 
     pen = opts.penalties
-    tile = 8
+    # Tile height: wide tiles amortize per-step cost but run until their
+    # slowest lane finishes; short low-error workloads prefer 32 (100bp:
+    # 96k -> 133k aln/s; 1kbp: 10.8k -> 12.6k), long high-error ones 8
+    # (HiFi banded: 473 at 8 vs 317 at 16 — finish-time variance dominates).
+    tile = opts.tile_batch or (32 if max_error <= 512 else 8)
     ndev = jax.device_count() if opts.data_parallel else 1
     nwp = _round_up(plan.tier // 16 + 8, LANE)
     w = _round_up(plan.wf_width, LANE)
