@@ -244,6 +244,37 @@ def _mutate_batch(rng, seqs, err):
     return out
 
 
+def _bench_1kbp_exact_golden() -> tuple[str, float, str]:
+    """The reference's embedded 1000 x 1kbp dataset, exact distance via the
+    full aligner path; asserts every score against the reference golden."""
+    import json
+
+    from wfa_tpu.aligner import align_pairs
+    from wfa_tpu.params import AlignmentOptions
+    from wfa_tpu.types import Penalties
+    from wfa_tpu.utils.io import read_seq_file
+
+    data = ROOT / "tests" / "data"
+    batch = read_seq_file(data / "seq_1000_n1000.seq")
+    golden = json.loads((data / "seq_1000_n1000.golden.json").read_text())
+    expect = [-v for v in golden["results_1000_n1000_x2o3e1"]]
+    opts = AlignmentOptions(penalties=Penalties(2, 3, 1), max_error=300)
+    n = len(batch.patterns)
+    res = align_pairs(batch.patterns, batch.texts, opts)  # warm + check
+    assert [r.error for r in res] == expect, "golden mismatch"
+    best = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        align_pairs(batch.patterns, batch.texts, opts)
+        best = max(best, n / (time.time() - t0))
+    return (
+        "alignments/sec/chip (1000x1kbp reference dataset, exact distance, "
+        "golden-checked)",
+        best,
+        "alignments/s",
+    )
+
+
 def _bench_nanopore_banded() -> tuple[str, float, str]:
     """Synthetic Nanopore-like workload: 20kbp reads at ~6% divergence,
     banded distance (the reference's approximate-mode chart workload,
@@ -299,7 +330,7 @@ def main() -> int:
     # Secondary metrics on stderr (the driver consumes exactly one JSON line
     # on stdout).
     for fn in (_bench_hifi_banded_cigar, _bench_short_exact,
-               _bench_nanopore_banded):
+               _bench_1kbp_exact_golden, _bench_nanopore_banded):
         try:
             m2, v2, u2 = fn()
             print(f"[bench] {m2}: {v2:.2f} {u2}", file=sys.stderr)
