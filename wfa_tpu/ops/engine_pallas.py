@@ -405,11 +405,13 @@ def _wfa_kernel(cfg: PallasConfig):
 
         def body(carry):
             if cigar and banded:
-                d, steps, m_bits, i_bits, done, fin, dist, chunk, lo_buf = carry
+                (d, steps, m_bits, i_bits, done, fin, dist, all_done,
+                 chunk, lo_buf) = carry
             elif cigar:
-                d, steps, m_bits, i_bits, done, fin, dist, chunk = carry
+                (d, steps, m_bits, i_bits, done, fin, dist, all_done,
+                 chunk) = carry
             else:
-                d, steps, m_bits, i_bits, done, fin, dist = carry
+                d, steps, m_bits, i_bits, done, fin, dist, all_done = carry
             # Existence of the parent scores from the rolling bitmaps
             # (bit j == exist[d-1-j]).
             gap_oe = jax.lax.cond(
@@ -667,22 +669,29 @@ def _wfa_kernel(cfg: PallasConfig):
             steps = steps + jnp.where(gap, 1, 0)
             m_bits = (m_bits << 1) | jnp.where(m_exist, jnp.uint32(1), 0)
             i_bits = (i_bits << 1) | jnp.where(gap, jnp.uint32(1), 0)
+            # The all-done reduce (a vector->scalar sync) runs every 4th
+            # score; the loop may overrun by up to 3 scores, which is
+            # harmless (finished lanes are frozen, spill rows have slack).
+            all_done = jax.lax.cond(
+                (d & 3) == 3, lambda: jnp.min(done), lambda: all_done
+            )
             if cigar and banded:
                 return (d + 1, steps, m_bits, i_bits, done, fin, dist,
-                        chunk, lo_buf)
+                        all_done, chunk, lo_buf)
             if cigar:
-                return d + 1, steps, m_bits, i_bits, done, fin, dist, chunk
-            return d + 1, steps, m_bits, i_bits, done, fin, dist
+                return (d + 1, steps, m_bits, i_bits, done, fin, dist,
+                        all_done, chunk)
+            return d + 1, steps, m_bits, i_bits, done, fin, dist, all_done
 
         def cond(carry):
-            d, steps, done = carry[0], carry[1], carry[4]
-            alive = (steps < cfg.max_steps - 1) & (jnp.min(done) == 0)
+            d, steps, all_done = carry[0], carry[1], carry[7]
+            alive = (steps < cfg.max_steps - 1) & (all_done == 0)
             if cfg.score_cap > 0:
                 alive = alive & (d < cfg.score_cap)
             return alive
 
         carry0 = [jnp.int32(1), jnp.int32(1), jnp.uint32(1), jnp.uint32(0),
-                  done0, fin0, dist0]
+                  done0, fin0, dist0, jnp.min(done0)]
         if cigar:
             carry0.append(jnp.zeros((BT, W), jnp.int32))
         if cigar and banded:
@@ -692,7 +701,7 @@ def _wfa_kernel(cfg: PallasConfig):
 
         if cigar:
             # Flush the trailing partial chunk, then drain outstanding DMAs.
-            chunk_last = final[7]
+            chunk_last = final[8]
             fi_last = d_end >> 3
             has_resid = (d_end & 7) != 0
 
@@ -718,7 +727,7 @@ def _wfa_kernel(cfg: PallasConfig):
                 _flush_dma((total - 2) & 1, 0).wait()
 
         if cigar and banded:
-            lo_last = final[8]
+            lo_last = final[9]
 
             @pl.when((d_end & (LANE - 1)) != 0)
             def _():
