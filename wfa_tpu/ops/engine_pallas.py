@@ -88,7 +88,7 @@ class PallasConfig:
     # window measured best on HiFi banded (1300 aln/s; sweep: 6->980, 8->1118,
     # 12->1217, 16->1300, 24/32->~1240).
     extend_span: int = 16
-    extend_first_span: int = 1
+    extend_first_span: int = 2
     # Staged extension: serve span loads from a per-row 256-word sequence
     # window gathered once per iteration (full-sweep fallback for lanes
     # outside the window).
