@@ -306,7 +306,58 @@ def _extend(offs, k, pat_ref, txt_ref, plen, tlen,
     state = (v0, h0, jnp.zeros_like(offs), active0)
     if first_span and first_span < span:
         state = make_body(first_span)(state)
-    _, _, acc, _ = jax.lax.while_loop(cond, make_body(span), state)
+
+    w = offs.shape[1]
+    if not (staged and w > LANE and first_span and first_span < span):
+        _, _, acc, _ = jax.lax.while_loop(cond, make_body(span), state)
+        return jnp.where(invalid, NULL, offs + acc)
+
+    # Lane compaction for the wide-stride iterations: probe survivors matched
+    # 16*first_span bases, which off the optimal path of random DNA is
+    # vanishingly rare — live lanes cluster on adjacent diagonals.  Run the
+    # main loop on one 128-lane window per row (gathers shrink by W/128x) and
+    # add the result back; scattered survivors or none fall back / skip.
+    v, h, acc0, active = state
+    bt = offs.shape[0]
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, offs.shape, 1)
+    bigw = jnp.int32(1 << 24)
+    lo_l = jnp.min(jnp.where(active > 0, lane_i, bigw), axis=1, keepdims=True)
+    hi_l = jnp.max(jnp.where(active > 0, lane_i, -1), axis=1, keepdims=True)
+    base_l = jnp.clip(jnp.minimum(lo_l, w - LANE), 0, w - LANE)
+    any_active = jnp.max(active) > 0
+    fits = jnp.max(hi_l - base_l) < LANE
+
+    def compact_path():
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, (bt, LANE), 1)
+        idx = base_l + lane_c
+
+        def pick(arr):
+            return _gather_chunks(
+                lambda tc: arr[:, tc * LANE : (tc + 1) * LANE],
+                w // LANE, idx, 0, arr.dtype,
+            )
+
+        v_c, h_c, a_c = pick(v), pick(h), pick(active)
+        _, _, acc_c, _ = jax.lax.while_loop(
+            cond, make_body(span), (v_c, h_c, jnp.zeros_like(v_c), a_c)
+        )
+        rel = lane_i - base_l
+        add = _gather_chunks(
+            lambda tc: acc_c, 1,
+            jnp.where((rel >= 0) & (rel < LANE), rel, -1),
+            0, jnp.int32,
+        )
+        return acc0 + add
+
+    def full_path():
+        _, _, acc_f, _ = jax.lax.while_loop(cond, make_body(span), state)
+        return acc_f
+
+    acc = jax.lax.cond(
+        any_active,
+        lambda: jax.lax.cond(fits, compact_path, full_path),
+        lambda: acc0,
+    )
     return jnp.where(invalid, NULL, offs + acc)
 
 
