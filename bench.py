@@ -128,7 +128,7 @@ def _bench_short_exact() -> tuple[str, float, str]:
     txt, tlen, vt = pack_batch(txts, 128)
     cfg = PallasConfig(
         penalties=Penalties(2, 3, 1), max_steps=60, wf_width=128,
-        tile_batch=32,
+        tile_batch=32, extend_span=8,
     )
     args = (
         jnp.asarray(pat), jnp.asarray(txt),

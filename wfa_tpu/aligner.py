@@ -165,6 +165,11 @@ def _run_tier_pallas(
         score_cap = cert_bound + 1 if not full_window else 0
         call_b = _round_up(len(idxs), tile)
 
+    # Extension stride: no wider than the sequences can extend, and bounded
+    # by VMEM (the extension buffers scale with tile * span).
+    span = max(8, min(48, plan.tier // 16 + 2))
+    if tile >= 32:
+        span = min(span, 16)
     cfg = PallasConfig(
         penalties=pen,
         max_steps=max_error,
@@ -173,6 +178,7 @@ def _run_tier_pallas(
         band=band,
         compute_cigar=cigar,
         score_cap=score_cap,
+        extend_span=span,
     )
     LOG.debug(
         "pallas tier=%d pairs=%d W=%d nwp=%d band=%d cigar=%s score_cap=%d "

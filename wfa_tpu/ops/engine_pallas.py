@@ -84,10 +84,10 @@ class PallasConfig:
     # or the width-certificate bound.
     score_cap: int = 0
     # LCP-extension strides (words of 16 bases): cheap first probe, then wide
-    # strides for lanes still matching.  span=16 with the 128-word staged
-    # window measured best on HiFi banded (1300 aln/s; sweep: 6->980, 8->1118,
-    # 12->1217, 16->1300, 24/32->~1240).
-    extend_span: int = 16
+    # strides for the (compacted) lanes still matching.  With active-lane
+    # compaction the optimum is span=48 (HiFi banded sweep: 16->2080,
+    # 24->2458, 32->2583, 48->2751, 64->2736, 96->2693, 112->2350 aln/s).
+    extend_span: int = 48
     extend_first_span: int = 2
     # Staged extension: serve span loads from a per-row 256-word sequence
     # window gathered once per iteration (full-sweep fallback for lanes
