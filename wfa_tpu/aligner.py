@@ -125,7 +125,9 @@ def _run_tier_pallas(
     # 96k -> 133k aln/s; 1kbp: 10.8k -> 12.6k), long high-error ones 8
     # (HiFi banded: 473 at 8 vs 317 at 16 — finish-time variance dominates).
     tile = opts.tile_batch or (32 if max_error <= 512 else 8)
-    ndev = jax.device_count() if opts.data_parallel else 1
+    # Local (per-process) device count: the batch reaching this function is
+    # already host-sharded in multi-host runs, so sharding spans local chips.
+    ndev = jax.local_device_count() if opts.data_parallel else 1
     nwp = _round_up(plan.tier // 16 + 8, LANE)
     w = _round_up(plan.wf_width, LANE)
     cigar = opts.compute_cigar
@@ -153,12 +155,14 @@ def _run_tier_pallas(
             score_cap = min(score_cap, cert_bound + 1)
         # The HBM choice table is (score_cap/8) x B x W int32; bound the
         # per-call batch by the memory budget (lib/align.cu's per-batch
-        # backtrace-pool sizing analog).
+        # backtrace-pool sizing analog).  call_b is itself the largest
+        # power-of-two bucket (of tile*ndev) whose table fits the budget, so
+        # the later shape bucketing can never round a chunk past the budget.
         bytes_per_lane = (score_cap // 8 + 2) * w * 4
-        call_b = max(
-            tile, min(4096, opts.memory_budget_bytes // max(bytes_per_lane, 1))
-        )
-        call_b = _round_up(call_b, tile)
+        budget_lanes = opts.memory_budget_bytes // max(bytes_per_lane, 1)
+        call_b = tile * ndev
+        while call_b * 2 <= min(budget_lanes, 4096):
+            call_b *= 2
     else:
         # Distance mode, truncated window: results past the certificate
         # bound demote to CPU anyway, so stop the loop there.
@@ -346,7 +350,7 @@ def align_pairs(
 
         import jax
 
-        ndev = jax.device_count() if opts.data_parallel else 1
+        ndev = jax.local_device_count() if opts.data_parallel else 1
         for start in range(0, len(idxs), plan.tile_batch):
             chunk = idxs[start : start + plan.tile_batch]
             bsz = _round_up(plan.tile_batch, 8 * ndev)

@@ -20,14 +20,22 @@ import functools
 
 import jax
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 
 def data_mesh(devices=None) -> Mesh:
-    """A 1-D data-parallel mesh over the given (default: all) devices."""
-    devices = devices if devices is not None else jax.devices()
+    """A 1-D data-parallel mesh over the given devices.
+
+    Defaults to this process's **local** devices: the aligner host-shards the
+    batch before it reaches the engines (cli.py multi-host branch), so each
+    process must shard-map its host-local arrays over its own chips only — a
+    global mesh would treat the per-host numpy inputs as replicated and the
+    SPMD programs would diverge when per-host shard sizes differ.
+    Single-process runs see every device either way.
+    """
+    devices = devices if devices is not None else jax.local_devices()
     return Mesh(np.asarray(devices), axis_names=("data",))
 
 
@@ -65,7 +73,7 @@ def align_batch_sharded(
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-        check_rep=False,
+        check_vma=False,
     )
     def run(pat_s, txt_s, plen_s, tlen_s, valid_s):
         return _align_batch_impl(
@@ -106,7 +114,7 @@ def align_batch_pallas_sharded(
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-        check_rep=False,
+        check_vma=False,
     )
     def run(pat_s, txt_s, plen_s, tlen_s, valid_s):
         return align_batch_pallas_impl(

@@ -56,6 +56,11 @@ def walk_ops(
     while d > 0:
         s = step_of[d]
         j = k - int(lo_trace[s])
+        if j < 0 or j >= choices.shape[1] or s >= choices.shape[0]:
+            raise ValueError(
+                f"traceback out of bounds (d={d} s={s} j={j} "
+                f"table={choices.shape})"
+            )
         ch = int(choices[s, j])
         if mat == 0:
             ops_rev.append(AffineOp.SUB)
@@ -188,6 +193,14 @@ def walk_ops_packed(
     k = int(target_k)
     while d > 0:
         j = k - lo_of_score(d)
+        # Fail loudly on a corrupt walk instead of wrapping via Python
+        # negative indexing (mirrors native/traceback.cpp decode_one_packed's
+        # error codes).
+        if j < 0 or j >= words.shape[1] or (d >> 3) >= words.shape[0]:
+            raise ValueError(
+                f"packed traceback out of bounds (d={d} j={j} "
+                f"table={words.shape})"
+            )
         ch = (int(words[d >> 3, j]) >> (4 * (d & 7))) & 0xF
         if mat == 0:
             ops_rev.append(AffineOp.SUB)
