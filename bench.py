@@ -150,12 +150,16 @@ def _bench_short_exact() -> tuple[str, float, str]:
 
 
 def _bench_hifi_banded_cigar() -> tuple[str, float, str]:
-    """HiFi banded full-alignment mode (CIGAR): Pallas kernel + native
-    OpenMP traceback decode, end to end."""
+    """HiFi banded full-alignment mode (CIGAR), end to end: Pallas alignment
+    kernel + on-device traceback walk (compact op streams) + native run-length
+    CIGAR emission.  The host never sees a choice table."""
     import jax.numpy as jnp
 
     from wfa_tpu import native
-    from wfa_tpu.ops.engine_pallas import PallasConfig, align_batch_pallas
+    from wfa_tpu.ops.engine_pallas import PallasConfig
+    from wfa_tpu.ops.traceback_pallas import (
+        TracebackConfig, align_cigar_fused,
+    )
     from wfa_tpu.ops.packing import pack_batch
     from wfa_tpu.schedule import build_schedule
     from wfa_tpu.types import Penalties
@@ -180,38 +184,42 @@ def _bench_hifi_banded_cigar() -> tuple[str, float, str]:
         penalties=pen, max_steps=3000, wf_width=512, tile_batch=8, band=25,
         compute_cigar=True, score_cap=sched.unfinished_score + 1,
     )
+    tb_cfg = TracebackConfig(
+        penalties=pen, wf_width=cfg.wf_width, score_cap=cfg.score_cap,
+        banded=True, lo_pad=cfg.lo_pad,
+    )
     args = (
         jnp.asarray(pat), jnp.asarray(txt),
         jnp.asarray(plen), jnp.asarray(tlen), jnp.asarray(vp & vt),
     )
-    out = align_batch_pallas(cfg, *args)
-    fin = np.asarray(out["finished"])[:n]
+
+    arr = np.asarray(align_cigar_fused(cfg, tb_cfg, *args))  # warm/compile
+    fin = arr[:n, 1] != 0
     assert fin.all(), f"{(~fin).sum()} HiFi alignments unfinished"
 
     best = 0.0
     best_dev = 0.0
     for _ in range(3):
         t0 = time.time()
-        out = align_batch_pallas(cfg, *args)
-        dist = np.asarray(out["distance"])
-        finv = np.asarray(out["finished"])
+        # One dispatch (align + on-device walk fused) + one fetch.
+        arr = np.asarray(align_cigar_fused(cfg, tb_cfg, *args))
+        dist = arr[:, 0]
+        finv = arr[:, 1] != 0
+        n_ops = arr[:, 2]
+        ops_w = np.ascontiguousarray(arr[:, 4:])
         t_dev = time.time() - t0
-        # Device-side slice to the reachable rows before the D2H fetch.
-        dmax = int(dist[finv].max(initial=0))
-        rows = min(out["choice_words"].shape[0], dmax // 8 + 2)
-        words = np.asarray(out["choice_words"][:rows])
-        lo_w = min(out["lo_trace"].shape[1], ((dmax + 130) // 128) * 128)
-        lo = np.asarray(out["lo_trace"][:, :lo_w])
-        cigars, _ = native.traceback_batch_packed(
-            words, lo, -(cfg.wf_width // 2), dist, finv, pats, txts, pen
+        cigars, st = native.cigar_from_ops_batch(
+            ops_w, n_ops, finv, pats, txts
         )
         dt = time.time() - t0
+        assert (n_ops[:n] >= 0).all() and all(
+            c is not None for c in cigars[:n]
+        ), "device traceback failed"
         best = max(best, n / dt)
         best_dev = max(best_dev, n / t_dev)
     print(
-        f"[bench] HiFi banded CIGAR device-compute-only: {best_dev:.2f} "
-        "alignments/s (end-to-end below includes choice-table D2H, which is "
-        "tunnel-limited in this environment)",
+        f"[bench] HiFi banded CIGAR device(align+walk+D2H): {best_dev:.2f} "
+        "alignments/s (end-to-end adds host CIGAR emission)",
         file=sys.stderr,
     )
     return (

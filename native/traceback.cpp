@@ -147,6 +147,24 @@ static int decode_one_packed(const int32_t* words, int64_t C, int64_t B,
   return 0;
 }
 
+// Longest common prefix of pat[v:] / txt[h:], 8 bytes per XOR compare (the
+// 64-bit analog of utils/cigar.c:63-94 `extend_wavefront`'s block loop).
+static inline int lcp64(const char* pat, int v, int plen, const char* txt,
+                        int h, int tlen) {
+  int n = std::min(plen - v, tlen - h);
+  int acc = 0;
+  while (acc + 8 <= n) {
+    uint64_t a, b;
+    std::memcpy(&a, pat + v + acc, 8);
+    std::memcpy(&b, txt + h + acc, 8);
+    uint64_t diff = a ^ b;
+    if (diff) return acc + (__builtin_ctzll(diff) >> 3);
+    acc += 8;
+  }
+  while (acc < n && pat[v + acc] == txt[h + acc]) ++acc;
+  return acc;
+}
+
 static void emit_cigar(const std::vector<uint8_t>& ops_rev, const char* pat,
                        int plen, const char* txt, int tlen, CigarBuf* cbp) {
   CigarBuf& cb = *cbp;
@@ -156,10 +174,7 @@ static void emit_cigar(const std::vector<uint8_t>& ops_rev, const char* pat,
   for (uint8_t opu : ops_rev) {
     int op = opu;
     if (!extending) {
-      int v = off - k2, h = off;
-      int n = std::min(plen - v, tlen - h);
-      int acc = 0;
-      while (acc < n && pat[v + acc] == txt[h + acc]) ++acc;
+      int acc = lcp64(pat, off - k2, plen, txt, off, tlen);
       cb.push(OP_M, acc);
       off += acc;
     }
@@ -171,11 +186,7 @@ static void emit_cigar(const std::vector<uint8_t>& ops_rev, const char* pat,
     if (op != OP_NOOP) cb.push(op, 1);
   }
   if (!extending) {
-    int v = off - k2, h = off;
-    int n = std::min(plen - v, tlen - h);
-    int acc = 0;
-    while (acc < n && pat[v + acc] == txt[h + acc]) ++acc;
-    cb.push(OP_M, acc);
+    cb.push(OP_M, lcp64(pat, off - k2, plen, txt, off, tlen));
   }
 }
 
@@ -215,6 +226,46 @@ void wfa_traceback_batch(const uint8_t* choices, const int32_t* lo_trace,
     }
     if (static_cast<int64_t>(cig.size()) + 1 <= cigar_stride) {
       std::memcpy(cigars + b * cigar_stride, cig.c_str(), cig.size() + 1);
+      status[b] = 1;
+    } else {
+      cigars[b * cigar_stride] = '\0';
+      status[b] = 2;
+    }
+  }
+}
+
+// Compact device-walk decode: the Pallas traceback kernel already walked the
+// DP on device and shipped one backward-ordered 2-bit op stream per alignment
+// (16 ops per int32 word).  This entry only unpacks the stream and replays it
+// into a run-length CIGAR — the host never sees a choice table.  Analog of
+// expanding the reference's per-alignment offloaded result region
+// (utils/cigar.c recover_cigar_affine over BT_OFFLOADED_RESULT_ELEMENTS).
+// n_ops[b]: ops in the stream; 0 with finished => distance-0 pair (pure
+// match); < 0 => corrupt device walk, caller re-aligns on CPU (status 0).
+// status: 0 skipped, 1 ok, 2 overflow.
+void wfa_cigar_from_ops_batch(
+    const int32_t* ops_words, int64_t B, int64_t OPW, const int32_t* n_ops,
+    const int8_t* finished, const char* seqs, const int64_t* p_off,
+    const int64_t* t_off, const int32_t* p_len, const int32_t* t_len,
+    char* cigars, int64_t cigar_stride, int8_t* status) {
+#pragma omp parallel for schedule(dynamic, 16)
+  for (int64_t b = 0; b < B; ++b) {
+    if (!finished[b] || n_ops[b] < 0) {
+      status[b] = 0;
+      continue;
+    }
+    const int32_t n = n_ops[b];
+    const int32_t* wrow = ops_words + b * OPW;
+    // Stream is in backward walk order; emit wants forward order.
+    std::vector<uint8_t> ops_fwd(n);
+    for (int32_t i = 0; i < n; ++i)
+      ops_fwd[n - 1 - i] = (wrow[i >> 4] >> (2 * (i & 15))) & 3;
+    CigarBuf cb;
+    emit_cigar(ops_fwd, seqs + p_off[b], p_len[b], seqs + t_off[b], t_len[b],
+               &cb);
+    cb.flush();
+    if (static_cast<int64_t>(cb.s.size()) + 1 <= cigar_stride) {
+      std::memcpy(cigars + b * cigar_stride, cb.s.c_str(), cb.s.size() + 1);
       status[b] = 1;
     } else {
       cigars[b * cigar_stride] = '\0';

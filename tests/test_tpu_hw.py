@@ -40,6 +40,73 @@ def test_pallas_golden_10K_on_hw():
 
 @requires_tpu
 @pytest.mark.parametrize("band", [-1, 10])
+def test_device_traceback_matches_host_decode(band):
+    """The fused align + on-device-walk path must reproduce the host
+    choice-table decoder's CIGARs bit-for-bit (banded and exact modes)."""
+    import jax.numpy as jnp
+
+    from wfa_tpu import native
+    from wfa_tpu.ops.engine_pallas import PallasConfig, align_batch_pallas
+    from wfa_tpu.ops.packing import pack_batch
+    from wfa_tpu.ops.traceback_pallas import (
+        TracebackConfig, align_cigar_fused,
+    )
+    from wfa_tpu.schedule import build_schedule
+    from wfa_tpu.types import Penalties
+
+    pen = Penalties(2, 3, 1)
+    pairs = make_pairs(23, sizes=(12, 60, 110), errs=(0.0, 0.08))
+    pairs = (pairs + pairs)[:16]
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    pat, plen, vp = pack_batch(pats, 128)
+    txt, tlen, vt = pack_batch(txts, 128)
+    sched = build_schedule(pen, 100, None)
+    cfg = PallasConfig(
+        penalties=pen, max_steps=100, wf_width=128, tile_batch=8,
+        band=band, compute_cigar=True, score_cap=sched.unfinished_score + 1,
+    )
+    tb_cfg = TracebackConfig(
+        penalties=pen, wf_width=cfg.wf_width, score_cap=cfg.score_cap,
+        banded=band > 0, lo_pad=cfg.lo_pad if band > 0 else 0,
+    )
+    dev_args = (
+        jnp.asarray(pat), jnp.asarray(txt),
+        jnp.asarray(plen), jnp.asarray(tlen), jnp.asarray(vp & vt),
+    )
+    arr = np.asarray(align_cigar_fused(cfg, tb_cfg, *dev_args))
+    dist = arr[:, 0]
+    fin = arr[:, 1] != 0
+    n_ops = arr[:, 2]
+    assert fin.all() and (n_ops >= 0).all()
+    dev_cigars, _ = native.cigar_from_ops_batch(
+        np.ascontiguousarray(arr[:, 4:]), n_ops, fin, pats, txts
+    )
+
+    out = align_batch_pallas(cfg, *dev_args)
+    words = np.asarray(out["choice_words"])
+    lo = np.asarray(out["lo_trace"]) if band > 0 else None
+    ref_cigars, _ = native.traceback_batch_packed(
+        words, lo, -(cfg.wf_width // 2), np.asarray(out["distance"]),
+        np.asarray(out["finished"]), pats, txts, pen,
+    )
+    assert dev_cigars == ref_cigars
+    assert (dist == np.asarray(out["distance"])).all()
+
+    # The pure-Python stream decoder agrees with the native one.
+    from wfa_tpu.traceback import recover_cigar_from_stream
+
+    for b in range(4):
+        assert (
+            recover_cigar_from_stream(
+                arr[b, 4:], int(n_ops[b]), pats[b], txts[b]
+            )
+            == dev_cigars[b]
+        )
+
+
+@requires_tpu
+@pytest.mark.parametrize("band", [-1, 10])
 def test_pallas_cigar_on_hw(band):
     import jax.numpy as jnp
 

@@ -21,6 +21,7 @@ fallback engine is always exact.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -200,6 +201,34 @@ def _run_tier_pallas(
             b *= 2
         return b
 
+    host_tb = os.environ.get("WFA_TPU_HOST_TRACEBACK", "0") == "1"
+    dev_tb = cigar and not host_tb
+    mesh = None
+    if ndev > 1:
+        from .parallel.mesh import data_mesh
+
+        mesh = data_mesh()
+    if dev_tb:
+        # Compact CIGAR path: the alignment kernel and the on-device
+        # backward walk run as ONE fused program per chunk, and everything
+        # the host needs — distances, finished flags, op counts and the
+        # per-alignment 2-bit op streams (O(2·distance) bytes, the analog of
+        # the reference's per-alignment result regions,
+        # sequence_alignment_kernel.cu:659-683) — crosses the host link in a
+        # single fetch.
+        from .ops.traceback_pallas import TracebackConfig
+
+        tb_cfg = TracebackConfig(
+            penalties=pen, wf_width=w, score_cap=score_cap,
+            banded=opts.banded,
+            lo_pad=cfg.lo_pad if opts.banded else 0,
+        )
+
+    # Phase 1: dispatch every chunk asynchronously; phase 2: fetch + decode.
+    # The host-link sync latency of each fetch then overlaps the remaining
+    # chunks' device compute (the TPU analog of the reference's
+    # dual-stream copy/compute overlap, lib/align.cu:329-378).
+    pending = []
     for start in range(0, len(idxs), call_b):
         chunk = idxs[start : start + call_b]
         bsz = _bucket(len(chunk))
@@ -214,20 +243,68 @@ def _run_tier_pallas(
             jnp.asarray(pat_w), jnp.asarray(txt_w),
             jnp.asarray(p_len), jnp.asarray(t_len), jnp.asarray(valid),
         )
-        if ndev > 1:
-            from .parallel.mesh import align_batch_pallas_sharded, data_mesh
+        if dev_tb:
+            if ndev > 1:
+                from .parallel.mesh import align_cigar_fused_sharded
 
-            out = align_batch_pallas_sharded(cfg, data_mesh(), *dev_args)
+                handle = align_cigar_fused_sharded(
+                    cfg, tb_cfg, mesh, *dev_args
+                )
+            else:
+                from .ops.traceback_pallas import align_cigar_fused
+
+                handle = align_cigar_fused(cfg, tb_cfg, *dev_args)
         else:
-            out = align_batch_pallas(cfg, *dev_args)
-        dist = np.asarray(out["distance"])
-        fin = np.asarray(out["finished"])
+            if ndev > 1:
+                from .parallel.mesh import align_batch_pallas_sharded
 
+                out = align_batch_pallas_sharded(cfg, mesh, *dev_args)
+            else:
+                out = align_batch_pallas(cfg, *dev_args)
+            if not cigar:
+                # One fetch per chunk instead of two.
+                handle = jnp.stack(
+                    [out["distance"], out["finished"].astype(jnp.int32)],
+                    axis=1,
+                )
+            else:
+                handle = out
+        pending.append((chunk, bsz, pats, txts, handle))
+
+    for chunk, bsz, pats, txts, handle in pending:
         cigars: list[str | None] = [None] * bsz
-        if cigar:
-            # Fetch only the choice rows the traceback can reach — device-side
-            # slice before the D2H transfer (scores above max(dist) are never
-            # visited by the decoder).
+        if dev_tb:
+            arr = np.asarray(handle)
+            dist = arr[:, 0]
+            fin = arr[:, 1] != 0
+            n_ops = arr[:, 2]
+            ops_w = np.ascontiguousarray(arr[:, 4:])
+            if native.available():
+                cigars, _ = native.cigar_from_ops_batch(
+                    ops_w, n_ops, fin, pats, txts
+                )
+            else:
+                from .traceback import recover_cigar_from_stream
+
+                cigars = [
+                    recover_cigar_from_stream(
+                        ops_w[b], int(n_ops[b]), pats[b], txts[b]
+                    )
+                    if fin[b] and n_ops[b] >= 0
+                    else None
+                    for b in range(bsz)
+                ]
+        elif not cigar:
+            arr = np.asarray(handle)
+            dist = arr[:, 0]
+            fin = arr[:, 1] != 0
+        else:
+            # Host decode of the dense choice table (measurement/debug path,
+            # WFA_TPU_HOST_TRACEBACK=1): fetch only the rows the traceback
+            # can reach — device-side slice before the D2H transfer.
+            out = handle
+            dist = np.asarray(out["distance"])
+            fin = np.asarray(out["finished"])
             dmax = int(dist[fin].max(initial=0))
             rows = min(out["choice_words"].shape[0], dmax // 8 + 2)
             words = np.asarray(out["choice_words"][:rows])
@@ -257,7 +334,10 @@ def _run_tier_pallas(
                 ]
 
         for b, i in enumerate(chunk):
-            if fin[b] and (full_window or int(dist[b]) < cert_bound):
+            ok = fin[b] and (full_window or int(dist[b]) < cert_bound)
+            if cigar and ok and cigars[b] is None:
+                ok = False  # corrupt device walk -> CPU fallback
+            if ok:
                 results[i] = AlignmentResult(
                     error=int(dist[b]),
                     cigar=cigars[b] or "",

@@ -79,6 +79,12 @@ def get_lib() -> ct.CDLL:
         ct.c_int, ct.c_int, ct.c_int,
         ct.c_void_p, ct.c_int64, ct.c_void_p,
     ]
+    lib.wfa_cigar_from_ops_batch.restype = None
+    lib.wfa_cigar_from_ops_batch.argtypes = [
+        ct.c_void_p, ct.c_int64, ct.c_int64, ct.c_void_p, ct.c_void_p,
+        ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+        ct.c_void_p, ct.c_int64, ct.c_void_p,
+    ]
     lib.wfa_traceback_batch_packed.restype = None
     lib.wfa_traceback_batch_packed.argtypes = [
         ct.c_void_p, ct.c_int64, ct.c_int64, ct.c_int64,
@@ -247,6 +253,47 @@ def traceback_batch(
             f"traceback failed for {bad.sum()} alignments (codes "
             f"{np.unique(status[bad])})"
         )
+    cigars: list[str | None] = []
+    raw = cig_buf.tobytes()
+    for i in range(B):
+        if status[i] == 1:
+            s = raw[i * cigar_stride : (i + 1) * cigar_stride]
+            cigars.append(s.split(b"\0", 1)[0].decode())
+        else:
+            cigars.append(None)
+    return cigars, status
+
+
+def cigar_from_ops_batch(
+    ops_words: np.ndarray,    # [B, OPW] int32 backward 2-bit op streams
+    n_ops: np.ndarray,        # [B] int32 (-1 = corrupt walk)
+    finished: np.ndarray,     # [B] bool
+    patterns: list[bytes],
+    texts: list[bytes],
+    cigar_stride: int = 0,
+) -> tuple[list[str | None], np.ndarray]:
+    """Replay device-walked op streams into CIGARs (the compact path — no
+    choice table ever reaches the host)."""
+    lib = get_lib()
+    B, OPW = ops_words.shape
+    ops_words = np.ascontiguousarray(ops_words, dtype=np.int32)
+    n_ops = np.ascontiguousarray(n_ops, dtype=np.int32)
+    fin8 = np.ascontiguousarray(finished, dtype=np.int8)
+    buf, p_off, t_off, p_len, t_len = _flat_seqs(patterns, texts)
+    status = np.zeros(B, dtype=np.int8)
+
+    if cigar_stride <= 0:
+        cigar_stride = max(64, 8 * int(n_ops.max(initial=0)) + 64)
+    while True:
+        cig_buf = np.zeros(B * cigar_stride, dtype=np.uint8)
+        lib.wfa_cigar_from_ops_batch(
+            _ptr(ops_words), B, OPW, _ptr(n_ops), _ptr(fin8),
+            _ptr(buf), _ptr(p_off), _ptr(t_off), _ptr(p_len), _ptr(t_len),
+            _ptr(cig_buf), cigar_stride, _ptr(status),
+        )
+        if not (status == 2).any():
+            break
+        cigar_stride *= 4
     cigars: list[str | None] = []
     raw = cig_buf.tobytes()
     for i in range(B):

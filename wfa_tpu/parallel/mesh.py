@@ -122,3 +122,72 @@ def align_batch_pallas_sharded(
         )
 
     return run(pat, txt, plen, tlen, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tb_cfg", "mesh"))
+def align_cigar_fused_sharded(
+    cfg,
+    tb_cfg,
+    mesh: Mesh,
+    pat,
+    txt,
+    plen,
+    tlen,
+    valid,
+):
+    """Shard-mapped fused CIGAR pipeline: alignment kernel + on-device
+    traceback per shard, one [B, 4 + OPW] fetch array out (batch on "data",
+    zero cross-chip traffic)."""
+    from ..ops.traceback_pallas import align_cigar_fused_impl
+
+    in_specs = (P("data"), P("data"), P("data"), P("data"), P("data"))
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=in_specs, out_specs=P("data", None),
+        check_vma=False,
+    )
+    def run(pat_s, txt_s, plen_s, tlen_s, valid_s):
+        return align_cigar_fused_impl(
+            cfg, tb_cfg, pat_s, txt_s, plen_s, tlen_s, valid_s
+        )
+
+    return run(pat, txt, plen, tlen, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def traceback_batch_sharded(
+    cfg,
+    mesh: Mesh,
+    choice_words,
+    lo_trace,
+    dist,
+    fin,
+    target_k,
+):
+    """Shard-mapped on-device traceback: each chip walks its own shard's
+    alignments and emits compact op streams (batch dim on the "data" axis,
+    matching the engine's choice-table sharding — no cross-chip traffic)."""
+    from ..ops.traceback_pallas import traceback_batch_device_impl
+
+    in_specs = [P(None, "data", None)]
+    args = [choice_words]
+    if cfg.banded:
+        in_specs.append(P("data", None))
+        args.append(lo_trace)
+    in_specs += [P("data"), P("data"), P("data")]
+    args += [dist, fin, target_k]
+    out_specs = {"ops": P("data", None), "n_ops": P("data")}
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=tuple(in_specs), out_specs=out_specs,
+        check_vma=False,
+    )
+    def run(*shard_args):
+        if cfg.banded:
+            cw, lo, d, f, tk = shard_args
+        else:
+            cw, d, f, tk = shard_args
+            lo = None
+        return traceback_batch_device_impl(cfg, cw, lo, d, f, tk)
+
+    return run(*args)

@@ -235,6 +235,27 @@ def walk_ops_packed(
     return ops_rev
 
 
+def ops_from_stream(words_row: np.ndarray, n_ops: int) -> list[int]:
+    """Unpack a device-walked backward op stream (16 2-bit ops per int32 word)
+    into forward-ordered AffineOp values."""
+    ops = [
+        (int(words_row[i >> 4]) >> (2 * (i & 15))) & 3 for i in range(n_ops)
+    ]
+    ops.reverse()
+    return ops
+
+
+def recover_cigar_from_stream(
+    words_row: np.ndarray,  # [OPW] int32 for one alignment
+    n_ops: int,
+    pattern: bytes,
+    text: bytes,
+) -> str:
+    """CIGAR from the Pallas traceback kernel's compact op stream (pure-Python
+    twin of native wfa_cigar_from_ops_batch)."""
+    return ops_to_cigar(ops_from_stream(words_row, n_ops), pattern, text)
+
+
 def recover_cigar_packed(
     words: np.ndarray,          # [C, W] int32 for one alignment
     lo_trace: np.ndarray | None,  # [>=max_score] int32 by score, or None
