@@ -378,6 +378,95 @@ def _bench_nanopore_banded() -> tuple[str, float, str]:
     )
 
 
+def _bench_10kbp_wide_exact() -> tuple[str, float, str]:
+    """The reference's own 100x10kbp dataset at -e 3000 (README.md:25-27
+    workload), EXACT mode through the full aligner path: the wide exact
+    Pallas kernel (untruncated W=6016 window) must reproduce every golden
+    score on device — the round-1 build ran this 100% on the CPU fallback
+    (~4 aln/s here)."""
+    import json
+
+    from wfa_tpu.aligner import align_pairs
+    from wfa_tpu.params import AlignmentOptions
+    from wfa_tpu.types import Penalties
+    from wfa_tpu.utils.io import read_seq_file
+
+    data = ROOT / "tests" / "data"
+    batch = read_seq_file(data / "seq_10K_n100.seq")
+    golden = json.loads((data / "seq_10K_n100.golden.json").read_text())
+    expect = [-v for v in golden["results_10K_n100_x2o3e1"]]
+    opts = AlignmentOptions(
+        penalties=Penalties(2, 3, 1), max_error=3000, backend="pallas"
+    )
+    n = len(batch.patterns)
+    res = align_pairs(batch.patterns, batch.texts, opts)  # warm + check
+    assert [r.error for r in res] == expect, "golden mismatch"
+    assert all(r.finished_on_accelerator for r in res), "CPU fallback hit"
+    best = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        align_pairs(batch.patterns, batch.texts, opts)
+        best = max(best, n / (time.time() - t0))
+    return (
+        "alignments/sec/chip (100x10kbp reference dataset, -e 3000, "
+        "wide EXACT distance on device, golden-checked)",
+        best,
+        "alignments/s",
+    )
+
+
+def _bench_pipeline_overlap() -> tuple[str, float, str]:
+    """Quantify copy/compute/host overlap (lib/align.cu:177-385 analog): a
+    fallback-heavy CIGAR workload run single-shot vs through the batched
+    pipeline; the ratio is the overlap factor between device compute and the
+    host stages (CPU re-alignment + CIGAR emission)."""
+    from wfa_tpu.aligner import align_pairs
+    from wfa_tpu.params import AlignmentOptions
+    from wfa_tpu.pipeline import align_pairs_pipelined
+    from wfa_tpu.types import Penalties
+
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n = 1024
+    pats = [rng.choice(bases, size=1000).tobytes() for _ in range(n)]
+    # Every 4th pair diverges past max_error -> CPU fallback re-alignment,
+    # the rest decode device op streams; both host stages must overlap the
+    # device computing later batches.
+    txts = _mutate_batch(rng, pats, 0.05)
+    hi = _mutate_batch(rng, [pats[i] for i in range(0, n, 4)], 0.3)
+    for j, i in enumerate(range(0, n, 4)):
+        txts[i] = hi[j]
+
+    base = AlignmentOptions(
+        penalties=Penalties(2, 3, 1), max_error=120, compute_cigar=True,
+    )
+    align_pairs(pats[:64], txts[:64], base)  # warm compiles
+
+    t0 = time.time()
+    r_single = align_pairs(pats, txts, base)
+    t_single = time.time() - t0
+
+    import dataclasses
+
+    piped = dataclasses.replace(base, batch_size=n // 8)
+    t0 = time.time()
+    r_piped = align_pairs_pipelined(pats, txts, piped)
+    t_piped = time.time() - t0
+    assert [r.error for r in r_single] == [r.error for r in r_piped]
+    n_cpu = sum(not r.finished_on_accelerator for r in r_single)
+    print(
+        f"[bench] pipeline overlap: single-shot {t_single:.2f}s, "
+        f"8-batch pipeline {t_piped:.2f}s (overlap factor "
+        f"{t_single / t_piped:.2f}x, {n_cpu}/{n} pairs on CPU fallback)",
+        file=sys.stderr,
+    )
+    return (
+        "pipeline overlap factor (1kbp CIGAR, 25% CPU-fallback)",
+        t_single / t_piped,
+        "x",
+    )
+
+
 def main() -> int:
     try:
         metric, value, unit = _bench_hifi_banded()
@@ -390,7 +479,8 @@ def main() -> int:
     # on stdout).
     for fn in (_bench_hifi_banded_cigar, _bench_hifi_exact_certified,
                _bench_short_exact, _bench_1kbp_exact_golden,
-               _bench_nanopore_banded):
+               _bench_10kbp_wide_exact, _bench_nanopore_banded,
+               _bench_pipeline_overlap):
         try:
             m2, v2, u2 = fn()
             print(f"[bench] {m2}: {v2:.2f} {u2}", file=sys.stderr)

@@ -15,10 +15,10 @@ requires_tpu = pytest.mark.skipif(
 
 @requires_tpu
 def test_pallas_golden_10K_on_hw():
-    """Full 100 x 10kbp reference dataset through the production path: the
-    width-capped exact Pallas kernel runs first, its certificate rejects
-    these high-divergence pairs (distance ~2700 > o + e*(W/2+1)), and the
-    exact CPU engine must then reproduce every golden score."""
+    """Full 100 x 10kbp reference dataset (-e 3000, the reference's own
+    README workload) through the production path: the wide exact Pallas
+    kernel (W = 6016 >= 2*3000+1, untruncated window) must finish every
+    pair ON DEVICE with golden scores — no CPU fallback."""
     import json
     from pathlib import Path
 
@@ -36,6 +36,7 @@ def test_pallas_golden_10K_on_hw():
     )
     res = align_pairs(batch.patterns, batch.texts, opts)
     assert [r.error for r in res] == expect
+    assert all(r.finished_on_accelerator for r in res)
 
 
 @requires_tpu

@@ -34,10 +34,28 @@ from .utils.logger import LOG
 
 _MIN_TIER = 64
 
-# Widest wavefront window the Pallas kernels take (the gather sweep over the
-# window is statically unrolled in 128-lane chunks); exact mode wider than
-# this runs width-capped with the certificate check (see _run_tier_pallas).
+# Widest wavefront window for the BANDED Pallas kernel (the banded parent
+# window reads gather-sweep W/128 chunks per recurrence input; wider bands
+# fall back to the XLA engine).
 PALLAS_MAX_WIDTH = 1024
+
+# Widest window for the EXACT Pallas kernel, whose recurrence uses cheap
+# lane rolls instead of window gathers — the TPU analog of the reference's
+# smem-center + HBM-spill wide wavefronts
+# (lib/kernels/sequence_alignment_kernel.cu:51-78).  At 6144 diagonals the
+# 100x10kbp golden set (-e 3000) runs fully on device with an untruncated
+# window (2*3000+1 <= 6144); bounded by Mosaic's scoped-VMEM stack, which
+# scales with tile * W * extend_span.
+PALLAS_MAX_WIDTH_EXACT = 6144
+_WIDE_EXACT_RING_BUDGET = 6 << 20  # bytes for the 3*A M/I/D VMEM ring
+
+
+def _wide_exact_cap(active_working_set: int, tile: int) -> int:
+    """Widest exact window whose wavefront ring fits the VMEM budget."""
+    w = _WIDE_EXACT_RING_BUDGET // (3 * active_working_set * tile * 4)
+    return max(
+        PALLAS_MAX_WIDTH, min(PALLAS_MAX_WIDTH_EXACT, w // 128 * 128)
+    )
 
 
 def _tier_of(length: int) -> int:
@@ -133,15 +151,20 @@ def _run_tier_pallas(
     w = _round_up(plan.wf_width, LANE)
     cigar = opts.compute_cigar
 
-    # Exact mode runs in a width-capped window with a post-hoc certificate:
-    # leaving a centered ±W/2 window costs at least o + e*(W/2+1), so any
-    # result with dist < that bound is provably optimal even though the
-    # window truncated the wavefronts (truncation only removes paths).
-    # Uncertified pairs demote to the CPU fallback.  This keeps arbitrarily
-    # long reads / max_error on the Pallas kernel at bounded VMEM.
+    # Exact mode runs windows up to PALLAS_MAX_WIDTH_EXACT diagonals (the
+    # recurrence is lane rolls, so width costs no gathers) — wide enough
+    # that e.g. the 10kbp golden set at max_error 3000 runs UNtruncated on
+    # device.  Wavefronts wider than the VMEM-bounded cap are truncated
+    # with a post-hoc certificate: leaving a centered ±W/2 window costs at
+    # least o + e*(W/2+1), so any result with dist < that bound is provably
+    # optimal (truncation only removes paths).  Uncertified pairs demote to
+    # the CPU fallback.
     full_window = opts.banded or w >= plan.wf_width
+    wide_exact = False
     if not opts.banded:
-        w = min(w, PALLAS_MAX_WIDTH)
+        tile = min(tile, 8) if w > PALLAS_MAX_WIDTH else tile
+        w = min(w, _wide_exact_cap(pen.active_working_set, tile))
+        wide_exact = w > PALLAS_MAX_WIDTH
         full_window = w >= plan.wf_width
     cert_bound = pen.o + pen.e * (w // 2 + 1)
 
@@ -175,6 +198,12 @@ def _run_tier_pallas(
     span = max(8, min(48, plan.tier // 16 + 2))
     if tile >= 32:
         span = min(span, 16)
+    if wide_exact:
+        # The full-sweep fallback body materializes (span+1) x [tile, W]
+        # temporaries; at W ~ 6k only a short stride fits the Mosaic
+        # scoped-VMEM stack (span 4 measured: 100x10kbp golden at 254 aln/s
+        # vs 3.8 on the CPU engine).
+        span = 4
     cfg = PallasConfig(
         penalties=pen,
         max_steps=max_error,
@@ -184,6 +213,9 @@ def _run_tier_pallas(
         compute_cigar=cigar,
         score_cap=score_cap,
         extend_span=span,
+        # Wide exact CIGAR sits just past Mosaic's 16 MiB default scoped
+        # VMEM (staged extension + choice-chunk carry at W ~ 6k).
+        vmem_limit_bytes=(24 << 20) if wide_exact and cigar else 0,
     )
     LOG.debug(
         "pallas tier=%d pairs=%d W=%d nwp=%d band=%d cigar=%s score_cap=%d "

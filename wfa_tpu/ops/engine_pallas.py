@@ -96,6 +96,10 @@ class PallasConfig:
     # Perf-debugging knobs: skip the HBM choice spill / lo recording.
     debug_skip_dma: bool = False
     debug_skip_lo: bool = False
+    # Mosaic scoped-VMEM limit override (bytes; 0 = compiler default 16 MiB).
+    # Wide exact-CIGAR windows need slightly more stack for the staged
+    # extension + choice-chunk carry.
+    vmem_limit_bytes: int = 0
 
     def __post_init__(self):
         assert self.wf_width % LANE == 0
@@ -840,6 +844,11 @@ def align_batch_pallas_impl(
         ]
 
     kernel = _wfa_kernel(cfg)
+    extra = {}
+    if cfg.vmem_limit_bytes:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=cfg.vmem_limit_bytes
+        )
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -850,6 +859,7 @@ def align_batch_pallas_impl(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
+        **extra,
     )(
         pat, txt,
         plen[:, None].astype(jnp.int32),
