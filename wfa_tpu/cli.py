@@ -152,15 +152,12 @@ def main(argv: list[str] | None = None) -> int:
     import jax
 
     if jax.process_count() > 1:
-        from .parallel.distributed import host_shard
+        from .parallel.distributed import shard_batch
 
-        mine = host_shard(len(batch))
-        batch = SequenceBatch(
-            [batch.patterns[i] for i in mine],
-            [batch.texts[i] for i in mine],
+        pats, txts, args.output_file = shard_batch(
+            batch.patterns, batch.texts, args.output_file
         )
-        if args.output_file:
-            args.output_file = f"{args.output_file}.{jax.process_index()}"
+        batch = SequenceBatch(pats, txts)
         LOG.info(
             "multi-host: process %d/%d aligning %d pairs",
             jax.process_index(), jax.process_count(), len(batch),
@@ -191,32 +188,52 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     if args.check:
-        ncorrect = nincorrect = 0
+        # One OpenMP batch call against the exact CPU oracle (the reference
+        # checks each batch in an OpenMP loop, lib/align.cu:258-326) instead
+        # of a per-pair Python loop.  A score off the optimum counts as
+        # incorrect even in banded mode — like the reference, where recall is
+        # the reported metric for the heuristic.
+        import numpy as np
+
         from .utils.verification import affine_score, check_cigar
 
+        t0 = time.time()
+        if native.available():
+            mask = np.ones(len(batch), dtype=np.int8)
+            oracle, _, _ = native.cpu_align_batch(
+                batch.patterns, batch.texts, pen, mask, False, adaptive=False
+            )
+        else:
+            from .utils.cpu_wfa import align_one_py
+
+            oracle = np.array([
+                align_one_py(p, t, pen, False)[0]
+                for p, t in zip(batch.patterns, batch.texts)
+            ])
+        ncorrect = nincorrect = noptimal = 0
         for i, r in enumerate(results):
             ok = True
-            if native.available():
-                oracle = native.cpu_align_single(
-                    batch.patterns[i], batch.texts[i], pen
-                )
-            else:
-                from .utils.cpu_wfa import align_one_py
-
-                oracle, _ = align_one_py(
-                    batch.patterns[i], batch.texts[i], pen, False
-                )
             if args.compute_cigar:
                 ok = check_cigar(r.cigar, batch.patterns[i], batch.texts[i])
                 ok = ok and affine_score(r.cigar, pen) == r.error
-            if opts.banded:
-                ok = ok and r.error >= oracle
-            else:
-                ok = ok and r.error == oracle
+            optimal = r.error == oracle[i]
+            noptimal += optimal
+            ok = ok and optimal
             ncorrect += ok
             nincorrect += not ok
+        dt = max(time.time() - t0, 1e-9)
+        LOG.info(
+            "Verification computed. Wall time: %.3fs (%.3f alignments per "
+            "second checked)", dt, len(results) / dt,
+        )
         LOG.warning("correct=%d incorrect=%d", ncorrect, nincorrect)
         print(f"correct={ncorrect} incorrect={nincorrect}", file=sys.stderr)
+        if opts.banded and results:
+            print(
+                f"recall={100.0 * noptimal / len(results):.2f}%"
+                f" ({noptimal}/{len(results)} scores optimal)",
+                file=sys.stderr,
+            )
 
     if args.output_file or args.print_output:
         from .utils.io import write_alignments

@@ -65,6 +65,47 @@ def host_shard(n: int, process_id: int | None = None,
     return np.arange(pid, n, nproc)
 
 
+def shard_batch(
+    patterns: list,
+    texts: list,
+    output_file: str | None = None,
+    process_id: int | None = None,
+    num_processes: int | None = None,
+):
+    """Restrict a global batch to this host's strided shard.
+
+    Returns (patterns, texts, output_file) where output_file gets a
+    ``.{process_id}`` suffix so every host writes its own results (merge
+    offline or with ``allgather_scores``).  The CLI multi-host branch is a
+    thin call to this, so the logic is unit-testable with injected
+    process_id/num_processes.
+    """
+    import jax
+
+    pid = jax.process_index() if process_id is None else process_id
+    nproc = jax.process_count() if num_processes is None else num_processes
+    mine = host_shard(len(patterns), pid, nproc)
+    out = f"{output_file}.{pid}" if output_file else output_file
+    return (
+        [patterns[i] for i in mine],
+        [texts[i] for i in mine],
+        out,
+    )
+
+
+def merge_sharded_scores(
+    per_host: list[np.ndarray], total: int
+) -> np.ndarray:
+    """Undo the strided host sharding: per_host[p][j] is global index
+    p + j*nproc.  Inverse of host_shard for score arrays (e.g. after
+    allgather_scores)."""
+    nproc = len(per_host)
+    out = np.empty(total, dtype=np.asarray(per_host[0]).dtype)
+    for p, arr in enumerate(per_host):
+        out[p:total:nproc] = arr
+    return out
+
+
 def allgather_scores(local_scores: np.ndarray) -> np.ndarray:
     """Gather per-host score arrays to every host (DCN collective)."""
     from jax.experimental import multihost_utils
