@@ -93,9 +93,14 @@ class PallasConfig:
     # window gathered once per iteration (full-sweep fallback for lanes
     # outside the window).
     staged_extend: bool = True
-    # Perf-debugging knobs: skip the HBM choice spill / lo recording.
+    # Perf-debugging knobs: skip the HBM choice spill / lo recording, stub
+    # out the LCP extension / parent-window reads (timing ablations only —
+    # results are wrong with these set).
     debug_skip_dma: bool = False
     debug_skip_lo: bool = False
+    debug_skip_extend: bool = False
+    debug_skip_wread: bool = False
+    debug_always_compute: bool = False
     # Mosaic scoped-VMEM limit override (bytes; 0 = compiler default 16 MiB).
     # Wide exact-CIGAR windows need slightly more stack for the staged
     # extension + choice-chunk carry.
@@ -124,29 +129,52 @@ class PallasConfig:
         return _round_up(self.score_cap + 2 * LANE, LANE)
 
 
+def _tree_combine(parts, op):
+    while len(parts) > 1:
+        nxt = [
+            op(parts[i], parts[i + 1])
+            for i in range(0, len(parts) - 1, 2)
+        ]
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    return parts[0]
+
+
 def _gather_chunks(load_chunk, n_chunks: int, idx: jnp.ndarray, fill, dtype):
     """Generic wide per-lane gather: out[b, j] = table[b, idx[b, j]].
 
     ``load_chunk(tc)`` must return the [BT, 128] table chunk starting at lane
     tc*128 (tc is a python int — the sweep is static).  Mosaic's
-    `tpu.dynamic_gather` only shuffles within one 128-lane vreg, so the gather
-    sweeps every table chunk unconditionally and merges with vector selects —
-    measured far cheaper than data-dependent chunk skipping, which costs a
-    vector->scalar sync per skip test.  Out-of-range lanes get ``fill``.
+    `tpu.dynamic_gather` only shuffles within one 128-lane vreg, so the
+    gather sweeps every table chunk unconditionally.  The per-chunk results
+    are merged with a masked-sum TREE, not a linear select fold: each lane is
+    in range of exactly one (or zero) chunks, and the tree keeps the gathers
+    independent so they pipeline through the shuffle unit — a dynamic gather
+    has ~80 ns latency but ~7 ns issue throughput (sol_calibrate.py), so a
+    linear fold serializes the whole sweep on latency.  Out-of-range lanes
+    get ``fill``.
     """
     bt, w = idx.shape
     pieces = []
     for oc in range(w // LANE):
         idx_c = idx[:, oc * LANE : (oc + 1) * LANE]
-        acc = jnp.full((bt, LANE), fill, dtype)
+        vals = []
+        ins = []
         for tc in range(n_chunks):
             rel = idx_c - tc * LANE
             inr = (rel >= 0) & (rel < LANE)
             g = jnp.take_along_axis(
                 load_chunk(tc), jnp.clip(rel, 0, LANE - 1), axis=1
             )
-            acc = jnp.where(inr, g, acc)
-        pieces.append(acc)
+            vals.append(jnp.where(inr, g, jnp.zeros((), dtype)))
+            ins.append(inr)
+        if n_chunks == 0:
+            pieces.append(jnp.full((bt, LANE), fill, dtype))
+            continue
+        tot = _tree_combine(vals, lambda a, b: a + b)
+        anyin = _tree_combine(ins, lambda a, b: a | b)
+        pieces.append(jnp.where(anyin, tot, jnp.full((), fill, dtype)))
     return jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
 
 
@@ -560,31 +588,44 @@ def _wfa_kernel(cfg: PallasConfig):
                     hi_n = jnp.where(do_rc != 0, center - W2 + W - 1, hi_n)
                     ext_n = hi_n - lo_n
 
-                    def wread(mat, slot, lo_p, ext_p, ok, dk):
+                    def load_row(mat, slot):
+                        return state_ref[pl.ds(mat * A + slot, 1), :, :][0]
+
+                    def wread_gather(row, lo_p, ext_p, ok, dk):
                         # Per-alignment dynamic-shift read of a parent window:
                         # child lane j is diagonal lo_n + j; parent index is
                         # that diagonal minus the parent's base (the TPU
                         # analog of aband get_offset's k>hi||k<lo NULL clamp).
                         rel = (lo_n - lo_p) + lane + dk
-
-                        def load_chunk(tc):
-                            return state_ref[
-                                pl.ds(mat * A + slot, 1), :,
-                                pl.ds(tc * LANE, LANE),
-                            ][0]
-
                         vals = _gather_chunks(
-                            load_chunk, W // LANE,
+                            lambda tc: row[:, tc * LANE : (tc + 1) * LANE],
+                            W // LANE,
                             jnp.where((rel >= 0) & (rel <= ext_p), rel, -1),
                             NULL, jnp.int32,
                         )
                         return jnp.where(ok, vals, NULL)
 
-                    I_open = wread(0, soe, lo_oe, ext_oe, ok_oe, -1) + 1
-                    I_ext = wread(1, se, lo_e, ext_e, ok_ie, -1) + 1
-                    D_open = wread(0, soe, lo_oe, ext_oe, ok_oe, +1)
-                    D_ext = wread(2, se, lo_e, ext_e, ok_ie, +1)
-                    X_off = wread(0, sx, lo_x, ext_x, ok_x, 0) + 1
+                    row_oe = load_row(0, soe)
+                    row_ie = load_row(1, se)
+                    row_de = load_row(2, se)
+                    row_x = load_row(0, sx)
+
+                    if cfg.debug_skip_wread:
+                        I_open = jnp.where(ok_oe, row_oe, NULL) + 1
+                        I_ext = jnp.where(ok_ie, row_ie, NULL) + 1
+                        D_open = jnp.where(ok_oe, row_oe, NULL)
+                        D_ext = jnp.where(ok_ie, row_de, NULL)
+                        X_off = jnp.where(ok_x, row_x, NULL) + 1
+                    else:
+                        I_open = wread_gather(
+                            row_oe, lo_oe, ext_oe, ok_oe, -1
+                        ) + 1
+                        I_ext = wread_gather(
+                            row_ie, lo_e, ext_e, ok_ie, -1
+                        ) + 1
+                        D_open = wread_gather(row_oe, lo_oe, ext_oe, ok_oe, +1)
+                        D_ext = wread_gather(row_de, lo_e, ext_e, ok_ie, +1)
+                        X_off = wread_gather(row_x, lo_x, ext_x, ok_x, 0) + 1
                     k_row = lo_n + lane
 
                 I_pb = jnp.maximum(_pack(I_open, 1), _pack(I_ext, 2))
@@ -598,9 +639,14 @@ def _wfa_kernel(cfg: PallasConfig):
                     ),
                     _pack(I_new, int(AffineOp.INS)),
                 )
-                M_new = _extend(M_pb >> 2, k_row, pat_ref, txt_ref, plen, tlen,
-                                cfg.extend_span, cfg.extend_first_span,
-                                cfg.staged_extend)
+                if cfg.debug_skip_extend:
+                    M_new = M_pb >> 2
+                else:
+                    M_new = _extend(
+                        M_pb >> 2, k_row, pat_ref, txt_ref, plen, tlen,
+                        cfg.extend_span, cfg.extend_first_span,
+                        cfg.staged_extend,
+                    )
 
                 if banded:
                     lane_live = lane <= ext_n
@@ -680,7 +726,12 @@ def _wfa_kernel(cfg: PallasConfig):
             else:
                 zero_pass = lambda done, fin, dist: (done, fin, dist)
 
-            out = jax.lax.cond(m_exist, compute, zero_pass, done, fin, dist)
+            if cfg.debug_always_compute:
+                out = compute(done, fin, dist)
+            else:
+                out = jax.lax.cond(
+                    m_exist, compute, zero_pass, done, fin, dist
+                )
             if cigar and banded:
                 done, fin, dist, ch, lo_val = out
             elif cigar:
