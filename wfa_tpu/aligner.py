@@ -31,6 +31,7 @@ from .params import AlignmentOptions, default_band_width, default_max_error
 from .schedule import build_schedule
 from .types import MAX_SEQ_LEN, AlignmentResult, Penalties
 from .utils.logger import LOG
+from .utils.presort import MIN_PRESORT_TIER
 
 _MIN_TIER = 64
 
@@ -80,7 +81,8 @@ class _TierPlan:
 
 
 def _plan_tiers(
-    lens: np.ndarray, opts: AlignmentOptions, max_error: int
+    lens: np.ndarray, opts: AlignmentOptions, max_error: int,
+    cost_hint: np.ndarray | None = None,
 ) -> list[_TierPlan]:
     pen = opts.penalties
     tiers: dict[int, list[int]] = {}
@@ -89,10 +91,15 @@ def _plan_tiers(
 
     plans = []
     for tier, idxs in sorted(tiers.items()):
-        # Sort by length within the tier so each device tile holds
-        # similar-size alignments — tiles run until their slowest lane
-        # finishes, and length is the best free predictor of distance.
-        idxs.sort(key=lambda i: -int(lens[i]))
+        # Order within the tier so each device tile holds alignments of
+        # similar cost — tiles run until their slowest lane finishes.  The
+        # estimated-divergence hint groups by predicted *distance* (oracle
+        # distance ordering measured 1.74x on diverse 14kbp batches;
+        # utils/presort.py), with length as the tie-break / fallback.
+        if cost_hint is not None:
+            idxs.sort(key=lambda i: (-cost_hint[i], -int(lens[i])))
+        else:
+            idxs.sort(key=lambda i: -int(lens[i]))
         if opts.banded:
             width = opts.band_width or default_band_width(max_error)
             w = min(width, 2 * (tier + 2) + 1)
@@ -431,7 +438,19 @@ def align_pairs(
     if pen.active_working_set > 32:
         use_pallas = False
 
-    for plan in _plan_tiers(lens[device_idx], opts, max_error):
+    # Divergence-ordered tiling for long reads (see utils/presort.py).
+    hints = None
+    dev_lens = lens[device_idx]
+    if dev_lens.size and int(dev_lens.max()) >= MIN_PRESORT_TIER:
+        from .utils.presort import divergence_scores
+
+        hints = divergence_scores(
+            [patterns[i] for i in device_idx],
+            [texts[i] for i in device_idx],
+            dev_lens,
+        )
+
+    for plan in _plan_tiers(lens[device_idx], opts, max_error, hints):
         idxs = [device_idx[j] for j in plan.indices]
         # Banded windows wider than the Pallas gather cap fall back to the
         # XLA engine; exact mode always runs on Pallas (wide windows get
