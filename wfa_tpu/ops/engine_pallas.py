@@ -382,7 +382,14 @@ def _extend(offs, k, pat_ref, txt_ref, plen, tlen,
         return acc0 + add
 
     def full_path():
-        _, _, acc_f, _ = jax.lax.while_loop(cond, make_body(span), state)
+        # Scattered survivors (repeats / homopolymers spread matching lanes
+        # past one 128-lane window) run at FULL width — keep the stride
+        # short there: a wide-span full-width body materializes (span+1) x
+        # [BT, W] loads per iteration and its staged window rarely covers
+        # the scattered lanes, so it degrades to full-sweep gathers.
+        _, _, acc_f, _ = jax.lax.while_loop(
+            cond, make_body(min(span, 8)), state
+        )
         return acc_f
 
     acc = jax.lax.cond(
