@@ -44,7 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..types import AffineOp, Penalties
-from .engine_pallas import LANE, _round_up
+from .engine_pallas import LANE, _gather_chunks, _round_up
 
 M_FROM_X = 0
 M_FROM_I = 1
@@ -177,6 +177,21 @@ def _traceback_kernel(cfg: TracebackConfig):
             # One slab read per stage; the inner steps gather from values.
             slab = row_buf[pl.ds(slot, 1), :, :][0]
 
+            if not cfg.banded and W > LANE:
+                # Exact mode: j = k + W/2 drifts by at most 1 per step, so a
+                # 128-lane window extracted once per body covers every step
+                # — the per-step gather then touches one chunk instead of
+                # sweeping W/128 (the wide-exact walk's dominant cost at
+                # W ~ 6k).
+                jw = jnp.clip(k + W2 - LANE // 2, 0, W - LANE)
+                lane128 = jax.lax.broadcasted_iota(jnp.int32, (TB, LANE), 1)
+                jwin = _gather_chunks(
+                    lambda tc: slab[:, tc * LANE : (tc + 1) * LANE],
+                    W // LANE, jw + lane128, 0, jnp.int32,
+                )
+            else:
+                jw = None
+
             for _ in range(STEPS_PER_CHECK):
                 live = (d > 0) & (err == 0)
                 in_row = jnp.where(live & ((d >> 3) == r), 1, 0)
@@ -191,15 +206,24 @@ def _traceback_kernel(cfg: TracebackConfig):
                 err = jnp.where(bad, 1, err)
                 in_row = jnp.where(bad, 0, in_row)
 
-                # Per-sublane single-word gather from the resident row slab:
-                # all chunks share the in-chunk index (j & 127), the chunk is
-                # selected by j >> 7 — one gather + one select per chunk.
-                jin = j & (LANE - 1)
-                jch = jax.lax.shift_right_logical(j, 7)
-                word = jnp.zeros((TB, 1), jnp.int32)
-                for tc in range(W // LANE):
-                    g = _pick1(slab[:, tc * LANE : (tc + 1) * LANE], jin)
-                    word = jnp.where(jch == tc, g, word)
+                if jw is not None:
+                    rel_w = j - jw
+                    bad_w = (in_row != 0) & (
+                        (rel_w < 0) | (rel_w >= LANE)
+                    )
+                    err = jnp.where(bad_w, 1, err)
+                    in_row = jnp.where(bad_w, 0, in_row)
+                    word = _pick1(jwin, jnp.clip(rel_w, 0, LANE - 1))
+                else:
+                    # Banded: the window base can jump at recenters, so
+                    # sweep the slab chunks — all share the in-chunk index
+                    # (j & 127), the chunk is selected by j >> 7.
+                    jin = j & (LANE - 1)
+                    jch = jax.lax.shift_right_logical(j, 7)
+                    word = jnp.zeros((TB, 1), jnp.int32)
+                    for tc in range(W // LANE):
+                        g = _pick1(slab[:, tc * LANE : (tc + 1) * LANE], jin)
+                        word = jnp.where(jch == tc, g, word)
                 ch = (word >> (4 * (d & 7))) & 0xF
 
                 is_m = mat == 0
