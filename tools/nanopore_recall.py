@@ -1,0 +1,79 @@
+"""Band-width recall on the Nanopore-like 20kbp workload (BASELINE.md).
+
+The reference's approximate-mode chart (README.md:123-137) reports recall
+on a Nanopore dataset; round 1 only measured HiFi recall.  Exact reference
+scores come from the wide exact Pallas kernel itself (W=6144 certifies
+distances < o + e·(W/2+1) = 3076 at penalties 2,3,1 — the 6% workload's
+distances sit well below), cross-checked against the CPU oracle on a
+subsample.
+"""
+import sys
+import time
+
+sys.path.insert(0, ".")
+import os
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/wfa_tpu_xla")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+import bench
+from wfa_tpu import native
+from wfa_tpu.ops.engine_pallas import PallasConfig, align_batch_pallas
+from wfa_tpu.ops.packing import pack_batch
+from wfa_tpu.types import Penalties
+
+rng = np.random.default_rng(7)
+bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+n = 128
+pats = [rng.choice(bases, size=20000).tobytes() for _ in range(n)]
+txts = bench._mutate_batch(rng, pats, 0.06)
+
+lmax = max(max(len(p), len(t)) for p, t in zip(pats, txts))
+nwp = ((lmax // 16 + 16 + 127) // 128) * 128
+pat, plen, vp = pack_batch(pats, nwp)
+txt, tlen, vt = pack_batch(txts, nwp)
+pen = Penalties(2, 3, 1)
+args = (
+    jnp.asarray(pat), jnp.asarray(txt),
+    jnp.asarray(plen), jnp.asarray(tlen), jnp.asarray(vp & vt),
+)
+
+# Exact reference scores on device (certified).
+cert_bound = pen.o + pen.e * (6144 // 2 + 1)
+cfg_e = PallasConfig(
+    penalties=pen, max_steps=5000, wf_width=6144, tile_batch=8, band=-1,
+    score_cap=cert_bound + 1, extend_span=4,
+    vmem_limit_bytes=24 << 20,
+)
+out = align_batch_pallas(cfg_e, *args)
+exact = np.asarray(out["distance"])
+fin_e = np.asarray(out["finished"])
+assert fin_e.all() and (exact < cert_bound).all(), "exact pass uncertified"
+
+# CPU cross-check on a subsample.
+for i in rng.choice(n, size=4, replace=False):
+    assert exact[i] == native.cpu_align_single(pats[i], txts[i], pen), i
+print(f"exact distances: {exact.min()}..{exact.max()} (all certified)")
+
+for width in (128, 256, 512, 1024):
+    cfg_b = PallasConfig(
+        penalties=pen, max_steps=5000, wf_width=width, tile_batch=8, band=25,
+    )
+    out = align_batch_pallas(cfg_b, *args)
+    d = np.asarray(out["distance"])
+    f = np.asarray(out["finished"])
+    opt = (d == exact) & f
+    infl = (d - exact)[f]
+    print(
+        f"band width {width:4d}: finished {f.sum()}/{n}, "
+        f"score==optimal {opt.sum()}/{n} "
+        f"({100.0*opt.sum()/n:.1f}%), max inflation "
+        f"{infl.max(initial=0)}"
+    )

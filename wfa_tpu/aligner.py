@@ -220,9 +220,10 @@ def _run_tier_pallas(
         compute_cigar=cigar,
         score_cap=score_cap,
         extend_span=span,
-        # Wide exact CIGAR sits just past Mosaic's 16 MiB default scoped
-        # VMEM (staged extension + choice-chunk carry at W ~ 6k).
-        vmem_limit_bytes=(24 << 20) if wide_exact and cigar else 0,
+        # Wide exact windows sit just past Mosaic's 16 MiB default scoped
+        # VMEM once the sequence table or the choice-chunk carry grows
+        # (measured: 16.7 MiB for 10kbp CIGAR, 16.6 MiB for 20kbp distance).
+        vmem_limit_bytes=(24 << 20) if wide_exact else 0,
     )
     LOG.debug(
         "pallas tier=%d pairs=%d W=%d nwp=%d band=%d cigar=%s score_cap=%d "
