@@ -196,9 +196,12 @@ def _run_tier_pallas(
             call_b *= 2
     else:
         # Distance mode, truncated window: results past the certificate
-        # bound demote to CPU anyway, so stop the loop there.
+        # bound demote to CPU anyway, so stop the loop there.  The per-call
+        # batch is capped: one giant program costs minutes of remote compile
+        # and tens of seconds of executable load per process, while capped
+        # calls pipeline through the dispatch-all-then-fetch loop below.
         score_cap = cert_bound + 1 if not full_window else 0
-        call_b = _round_up(len(idxs), tile)
+        call_b = min(_round_up(len(idxs), tile), 16384)
 
     # Extension stride: no wider than the sequences can extend, and bounded
     # by VMEM (the extension buffers scale with tile * span).
