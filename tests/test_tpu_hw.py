@@ -40,6 +40,33 @@ def test_pallas_golden_10K_on_hw():
 
 
 @requires_tpu
+def test_pallas_golden_10K_p1_certified_on_hw():
+    """The harder penalty set (3,5,2) on the 10kbp dataset: the needed exact
+    window (2*4700+1) exceeds the VMEM cap, so the kernel runs TRUNCATED at
+    W=6144 — but every golden distance (4216..4614) sits below the
+    optimality certificate o + e*(W/2+1) = 6151, so all 100 pairs must
+    still finish on device with provably exact golden scores."""
+    import json
+    from pathlib import Path
+
+    from wfa_tpu.aligner import align_pairs
+    from wfa_tpu.params import AlignmentOptions
+    from wfa_tpu.types import Penalties
+    from wfa_tpu.utils.io import read_seq_file
+
+    data = Path(__file__).parent / "data"
+    batch = read_seq_file(data / "seq_10K_n100.seq")
+    golden = json.loads((data / "seq_10K_n100.golden.json").read_text())
+    expect = [-v for v in golden["results_10K_n100_x3o5e2"]]
+    opts = AlignmentOptions(
+        penalties=Penalties(3, 5, 2), max_error=4700, backend="pallas"
+    )
+    res = align_pairs(batch.patterns, batch.texts, opts)
+    assert [r.error for r in res] == expect
+    assert all(r.finished_on_accelerator for r in res)
+
+
+@requires_tpu
 @pytest.mark.parametrize("band", [-1, 10])
 def test_device_traceback_matches_host_decode(band):
     """The fused align + on-device-walk path must reproduce the host
