@@ -79,6 +79,66 @@ def test_allgather_scores_single_process():
     assert got.reshape(-1, 3)[0].tolist() == [3, -1, 42]
 
 
+def test_two_process_distributed_bringup(tmp_path):
+    """REAL 2-process `jax.distributed` bring-up on CPU: coordinator +
+    worker subprocesses shard a batch, align their host shards, allgather
+    the scores over the distributed runtime, and process 0 merges them —
+    the full multi-host path minus actual TPU pods."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {str(Path(__file__).parent.parent)!r})\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "pid, nproc = int(sys.argv[1]), int(sys.argv[2])\n"
+        "from wfa_tpu.parallel.distributed import (\n"
+        "    initialize, shard_batch, allgather_scores,\n"
+        "    merge_sharded_scores, host_shard)\n"
+        "initialize('localhost:12361', nproc, pid)\n"
+        "assert jax.process_count() == nproc, jax.process_count()\n"
+        "import numpy as np\n"
+        "pats = [bytes([65 + i % 4]) * 8 + b'ACGT' * 12 for i in range(10)]\n"
+        "txts = [p[:20] + p[21:] + b'G' for p in pats]\n"
+        "sp, st, _ = shard_batch(pats, txts, None)\n"
+        "from wfa_tpu import AlignmentOptions, Penalties, align_pairs\n"
+        "res = align_pairs(sp, st, AlignmentOptions(\n"
+        "    penalties=Penalties(2, 3, 1), max_error=20, backend='xla',\n"
+        "    data_parallel=False))\n"
+        "local = np.array([r.error for r in res], dtype=np.int32)\n"
+        "padded = np.full(5, -1, np.int32)\n"
+        "padded[:len(local)] = local\n"
+        "g = np.asarray(allgather_scores(padded)).reshape(nproc, 5)\n"
+        "if pid == 0:\n"
+        "    per_host = [g[p][:len(host_shard(10, p, nproc))]\n"
+        "                for p in range(nproc)]\n"
+        "    merged = merge_sharded_scores(per_host, 10)\n"
+        "    ref = [align_pairs([p], [t], AlignmentOptions(\n"
+        "        penalties=Penalties(2, 3, 1), max_error=20,\n"
+        "        backend='xla', data_parallel=False))[0].error\n"
+        "        for p, t in zip(pats, txts)]\n"
+        "    assert merged.tolist() == ref, (merged.tolist(), ref)\n"
+        "print('OK', pid)\n"
+    )
+    import os
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(p), "2"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for p in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    assert "OK 0" in outs[0] and "OK 1" in outs[1]
+
+
 def test_cli_multihost_end_to_end(tmp_path, monkeypatch):
     """Emulate the CLI's multi-host branch: every process aligns its strided
     shard and writes its own output file; merged, they reproduce the

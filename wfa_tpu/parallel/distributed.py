@@ -33,11 +33,15 @@ def initialize(
     With no arguments, relies on the TPU pod environment autodetection that
     `jax.distributed.initialize` performs; explicit values support manual
     bring-up (e.g. CPU/GPU multi-process testing).
+
+    The already-initialized check must NOT touch `jax.process_count()` —
+    that instantiates the backends, after which `jax.distributed.initialize`
+    refuses to run (it must precede any JAX computation).
     """
     import jax
 
-    if jax.process_count() > 1:
-        return  # already initialized
+    if jax.distributed.is_initialized():
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
