@@ -216,45 +216,60 @@ def _load_span(words_ref, pos: jnp.ndarray, nwords: int) -> list:
 _STAGE_CHUNKS = int(os.environ.get("WFA_STAGE_CHUNKS", "1"))
 
 
-def _load_span_pair_staged(words_ref, pos, nwords, active):
-    """Staged variant of _load_span: the active lanes of one extension
-    iteration read words from a narrow range (their word indices are within
-    ~W/16 + span of each other — lanes that survive an iteration all advanced
-    by exactly 16*span bases, so the spread never grows), so gather a
-    256-word per-row window once and serve every span load from it.  Cuts
-    the gather sweep from (W/128)x(NWP/128) per load to (W/128)x2, behind a
+def _load_span_pair2_staged(pat_ref, txt_ref, vpos, hpos, nwords, active):
+    """Staged variant of _load_span for both sequences at once: the active
+    lanes of one extension iteration read words from a narrow range (lanes
+    that survive an iteration all advanced by exactly 16*span bases, so the
+    spread never grows), so gather one stage window per sequence and serve
+    every span load from it — cutting the gather sweep from
+    (W/128)x(NWP/128) per load to (W/128)x_STAGE_CHUNKS, behind a
     full-sweep fallback for the rare out-of-window case.
 
-    Returns (raw list of nwords+1 words, scalar ok flag).
-    """
-    idx = jax.lax.shift_right_logical(pos, 4)
-    bigw = jnp.int32(1 << 24)
-    idx_a = jnp.where(active > 0, idx, bigw)
-    base = jnp.min(idx_a, axis=1, keepdims=True)      # [BT, 1]
-    base = jnp.where(base == bigw, 0, base)
-    rel = idx - base
-    need = nwords + 1
-    out_of_win = (active > 0) & (rel > _STAGE_CHUNKS * LANE - need)
-    ok = jnp.max(jnp.where(out_of_win, 1, 0)) == 0
+    The two sequences share TWO lane reductions total instead of four: the
+    per-seq window bases come from one 3D min, the combined out-of-window
+    check from one max (lane reductions cost ~166 ns each on this chip —
+    sol_calibrate.py — and sit on the extension's critical path every score
+    step).
 
-    bt = idx.shape[0]
+    Returns (raw_p, raw_t lists of nwords+1 words, scalar ok flag)."""
+    idx_v = jax.lax.shift_right_logical(vpos, 4)
+    idx_t = jax.lax.shift_right_logical(hpos, 4)
+    bigw = jnp.int32(1 << 24)
+    mv = jnp.where(active > 0, idx_v, bigw)
+    mt = jnp.where(active > 0, idx_t, bigw)
+    # (A fused [BT,2,W] 3D min measured 2x the Mosaic stack footprint —
+    # per-seq reduces stay, only the overflow check is shared.)
+    bv = jnp.min(mv, axis=1, keepdims=True)
+    bt_ = jnp.min(mt, axis=1, keepdims=True)
+    base_v = jnp.where(bv == bigw, 0, bv)
+    base_t = jnp.where(bt_ == bigw, 0, bt_)
+    rel_v = idx_v - base_v
+    rel_t = idx_t - base_t
+    need = nwords + 1
+    over = jnp.maximum(
+        jnp.where(active > 0, rel_v, 0), jnp.where(active > 0, rel_t, 0)
+    )
+    ok = jnp.max(over) <= _STAGE_CHUNKS * LANE - need
+
+    bt = idx_v.shape[0]
     lane_w = jax.lax.broadcasted_iota(
         jnp.int32, (bt, _STAGE_CHUNKS * LANE), 1
     )
-    stage = _gather_words(words_ref, base + lane_w)   # [BT, 256]
+    stage_v = _gather_words(pat_ref, base_v + lane_w)
+    stage_t = _gather_words(txt_ref, base_t + lane_w)
 
-    rels = jnp.where(active > 0, rel, 0)
+    def serve(stage, rels):
+        return [
+            _gather_chunks(
+                lambda tc: stage[:, tc * LANE : (tc + 1) * LANE],
+                _STAGE_CHUNKS, rels + i, 0, jnp.uint32,
+            )
+            for i in range(need)
+        ]
 
-    def load_chunk_from_stage(tc):
-        return stage[:, tc * LANE : (tc + 1) * LANE]
-
-    raw = [
-        _gather_chunks(
-            load_chunk_from_stage, _STAGE_CHUNKS, rels + i, 0, jnp.uint32
-        )
-        for i in range(need)
-    ]
-    return raw, ok
+    raw_v = serve(stage_v, jnp.where(active > 0, rel_v, 0))
+    raw_t = serve(stage_t, jnp.where(active > 0, rel_t, 0))
+    return raw_v, raw_t, ok
 
 
 def _tail_mask(nxt: jnp.ndarray, limit: jnp.ndarray) -> jnp.ndarray:
@@ -289,10 +304,11 @@ def _extend(offs, k, pat_ref, txt_ref, plen, tlen,
             vc = jnp.clip(v, 0, plen)
             hc = jnp.clip(h, 0, tlen)
             if staged:
-                raw_p, ok_p = _load_span_pair_staged(pat_ref, vc, nwords, active)
-                raw_t, ok_t = _load_span_pair_staged(txt_ref, hc, nwords, active)
+                raw_p, raw_t, ok_both = _load_span_pair2_staged(
+                    pat_ref, txt_ref, vc, hc, nwords, active
+                )
                 wps, wts = jax.lax.cond(
-                    ok_p & ok_t,
+                    ok_both,
                     lambda: (
                         _dephase(raw_p, (vc & 15).astype(jnp.uint32), nwords),
                         _dephase(raw_t, (hc & 15).astype(jnp.uint32), nwords),
