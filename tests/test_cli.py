@@ -119,3 +119,17 @@ def test_cli_errors(capsys):
     assert main([
         "-i", str(DATA / "wfa.utest.seq"), "-B", "-3",
     ]) == 1                                       # bad band
+
+
+def test_cli_malformed_penalties_exit_nonzero():
+    """A malformed -g must fail, not silently run with defaults
+    (tools/aligner.c:265-283 parses or errors)."""
+    for bad in ["1,2", "a,b,c", "1,2,3,4", "1;2;3"]:
+        assert main([
+            "-i", str(DATA / "wfa.utest.seq"), "-n", "1", "-g", bad,
+        ]) == 1, bad
+    from wfa_tpu.cli import _parse_penalties
+
+    assert _parse_penalties(None).x == 2          # default path intact
+    p = _parse_penalties("-5,3,2")
+    assert (p.x, p.o, p.e) == (5, 3, 2)           # abs() like the reference

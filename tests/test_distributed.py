@@ -88,20 +88,22 @@ def test_two_process_distributed_bringup(tmp_path):
     import sys
     from pathlib import Path
 
+    # 9 pairs across 2 hosts -> unequal shards (5 vs 4): exercises the
+    # allgather padding path (total=) end-to-end.
     worker = tmp_path / "worker.py"
     worker.write_text(
         "import sys\n"
         f"sys.path.insert(0, {str(Path(__file__).parent.parent)!r})\n"
         "import jax\n"
         "jax.config.update('jax_platforms', 'cpu')\n"
-        "pid, nproc = int(sys.argv[1]), int(sys.argv[2])\n"
+        "pid, nproc, port = (int(v) for v in sys.argv[1:4])\n"
         "from wfa_tpu.parallel.distributed import (\n"
         "    initialize, shard_batch, allgather_scores,\n"
-        "    merge_sharded_scores, host_shard)\n"
-        "initialize('localhost:12361', nproc, pid)\n"
+        "    merge_sharded_scores)\n"
+        "initialize(f'localhost:{port}', nproc, pid)\n"
         "assert jax.process_count() == nproc, jax.process_count()\n"
         "import numpy as np\n"
-        "pats = [bytes([65 + i % 4]) * 8 + b'ACGT' * 12 for i in range(10)]\n"
+        "pats = [bytes([65 + i % 4]) * 8 + b'ACGT' * 12 for i in range(9)]\n"
         "txts = [p[:20] + p[21:] + b'G' for p in pats]\n"
         "sp, st, _ = shard_batch(pats, txts, None)\n"
         "from wfa_tpu import AlignmentOptions, Penalties, align_pairs\n"
@@ -109,13 +111,10 @@ def test_two_process_distributed_bringup(tmp_path):
         "    penalties=Penalties(2, 3, 1), max_error=20, backend='xla',\n"
         "    data_parallel=False))\n"
         "local = np.array([r.error for r in res], dtype=np.int32)\n"
-        "padded = np.full(5, -1, np.int32)\n"
-        "padded[:len(local)] = local\n"
-        "g = np.asarray(allgather_scores(padded)).reshape(nproc, 5)\n"
+        "g = np.asarray(allgather_scores(local, total=9))\n"
+        "g = g.reshape(nproc, -1)\n"
         "if pid == 0:\n"
-        "    per_host = [g[p][:len(host_shard(10, p, nproc))]\n"
-        "                for p in range(nproc)]\n"
-        "    merged = merge_sharded_scores(per_host, 10)\n"
+        "    merged = merge_sharded_scores(list(g), 9)\n"
         "    ref = [align_pairs([p], [t], AlignmentOptions(\n"
         "        penalties=Penalties(2, 3, 1), max_error=20,\n"
         "        backend='xla', data_parallel=False))[0].error\n"
@@ -124,12 +123,18 @@ def test_two_process_distributed_bringup(tmp_path):
         "print('OK', pid)\n"
     )
     import os
+    import socket
+
+    # Ephemeral coordinator port: a hardcoded one collides on shared hosts.
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
 
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(p), "2"],
+            [sys.executable, str(worker), str(p), "2", str(port)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
         for p in range(2)

@@ -270,51 +270,15 @@ def _run_tier_pallas(
     # Phase 1: dispatch every chunk asynchronously; phase 2: fetch + decode.
     # The host-link sync latency of each fetch then overlaps the remaining
     # chunks' device compute (the TPU analog of the reference's
-    # dual-stream copy/compute overlap, lib/align.cu:329-378).
-    pending = []
-    for start in range(0, len(idxs), call_b):
-        chunk = idxs[start : start + call_b]
-        bsz = _bucket(len(chunk))
-        pats = [patterns[i] for i in chunk] + [b""] * (bsz - len(chunk))
-        txts = [texts[i] for i in chunk] + [b""] * (bsz - len(chunk))
+    # dual-stream copy/compute overlap, lib/align.cu:329-378).  In the
+    # host-traceback debug path each pending handle pins a full
+    # budget-sized HBM choice table, so pending depth is capped at 2
+    # there — unbounded accumulation would multiply device memory use by
+    # the chunk count and defeat the budget sizing.
+    max_pending = 2 if (cigar and host_tb) else len(idxs) + 1
 
-        pat_w, p_len, p_ok = pack_batch(pats, nwp)
-        txt_w, t_len, t_ok = pack_batch(txts, nwp)
-        valid = p_ok & t_ok
-
-        dev_args = (
-            jnp.asarray(pat_w), jnp.asarray(txt_w),
-            jnp.asarray(p_len), jnp.asarray(t_len), jnp.asarray(valid),
-        )
-        if dev_tb:
-            if ndev > 1:
-                from .parallel.mesh import align_cigar_fused_sharded
-
-                handle = align_cigar_fused_sharded(
-                    cfg, tb_cfg, mesh, *dev_args
-                )
-            else:
-                from .ops.traceback_pallas import align_cigar_fused
-
-                handle = align_cigar_fused(cfg, tb_cfg, *dev_args)
-        else:
-            if ndev > 1:
-                from .parallel.mesh import align_batch_pallas_sharded
-
-                out = align_batch_pallas_sharded(cfg, mesh, *dev_args)
-            else:
-                out = align_batch_pallas(cfg, *dev_args)
-            if not cigar:
-                # One fetch per chunk instead of two.
-                handle = jnp.stack(
-                    [out["distance"], out["finished"].astype(jnp.int32)],
-                    axis=1,
-                )
-            else:
-                handle = out
-        pending.append((chunk, bsz, pats, txts, handle))
-
-    for chunk, bsz, pats, txts, handle in pending:
+    def _consume(item):
+        chunk, bsz, pats, txts, handle = item
         cigars: list[str | None] = [None] * bsz
         if dev_tb:
             arr = np.asarray(handle)
@@ -389,6 +353,54 @@ def _run_tier_pallas(
             else:
                 need_cpu[i] = True
 
+    pending = []
+    for start in range(0, len(idxs), call_b):
+        chunk = idxs[start : start + call_b]
+        bsz = _bucket(len(chunk))
+        pats = [patterns[i] for i in chunk] + [b""] * (bsz - len(chunk))
+        txts = [texts[i] for i in chunk] + [b""] * (bsz - len(chunk))
+
+        pat_w, p_len, p_ok = pack_batch(pats, nwp)
+        txt_w, t_len, t_ok = pack_batch(txts, nwp)
+        valid = p_ok & t_ok
+
+        dev_args = (
+            jnp.asarray(pat_w), jnp.asarray(txt_w),
+            jnp.asarray(p_len), jnp.asarray(t_len), jnp.asarray(valid),
+        )
+        if dev_tb:
+            if ndev > 1:
+                from .parallel.mesh import align_cigar_fused_sharded
+
+                handle = align_cigar_fused_sharded(
+                    cfg, tb_cfg, mesh, *dev_args
+                )
+            else:
+                from .ops.traceback_pallas import align_cigar_fused
+
+                handle = align_cigar_fused(cfg, tb_cfg, *dev_args)
+        else:
+            if ndev > 1:
+                from .parallel.mesh import align_batch_pallas_sharded
+
+                out = align_batch_pallas_sharded(cfg, mesh, *dev_args)
+            else:
+                out = align_batch_pallas(cfg, *dev_args)
+            if not cigar:
+                # One fetch per chunk instead of two.
+                handle = jnp.stack(
+                    [out["distance"], out["finished"].astype(jnp.int32)],
+                    axis=1,
+                )
+            else:
+                handle = out
+        pending.append((chunk, bsz, pats, txts, handle))
+        while len(pending) > max_pending:
+            _consume(pending.pop(0))
+
+    for item in pending:
+        _consume(item)
+
 
 def align_pairs(
     patterns: list[bytes],
@@ -443,9 +455,11 @@ def align_pairs(
         use_pallas = False
 
     # Divergence-ordered tiling for long reads (see utils/presort.py).
+    # Only worth the host scan when the Pallas tiles will actually run —
+    # the XLA/CPU paths don't have tile finish-time variance to reclaim.
     hints = None
     dev_lens = lens[device_idx]
-    if dev_lens.size and int(dev_lens.max()) >= MIN_PRESORT_TIER:
+    if use_pallas and dev_lens.size and int(dev_lens.max()) >= MIN_PRESORT_TIER:
         from .utils.presort import divergence_scores
 
         hints = divergence_scores(

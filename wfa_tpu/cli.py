@@ -50,15 +50,19 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _parse_penalties(arg: str | None) -> Penalties:
+    """Parse ``-g x,o,e`` or raise ValueError (the reference CLI parses or
+    errors out, tools/aligner.c:265-283)."""
     if not arg:
         return Penalties(2, 3, 1)
+    parts = arg.split(",")
     try:
-        x, o, e = (int(v) for v in arg.split(","))
+        if len(parts) != 3:
+            raise ValueError
+        x, o, e = (int(v) for v in parts)
     except ValueError:
-        LOG.warning(
-            "Invalid penalties format provided. Using default penalties (0,2,3,1)."
-        )
-        return Penalties(2, 3, 1)
+        raise ValueError(
+            f"Invalid penalties {arg!r}: expected x,o,e (e.g. -g 2,3,1)."
+        ) from None
     return Penalties(abs(x), abs(o), abs(e))
 
 
@@ -86,6 +90,12 @@ def main(argv: list[str] | None = None) -> int:
     from .utils.timers import device_trace, timed
 
     LOG.info("Detected %s", describe())
+
+    try:
+        pen = _parse_penalties(args.affine_penalties)
+    except ValueError as exc:
+        LOG.error("%s", exc)
+        return 1
 
     with timed("file read"):
         if args.input_seq:
@@ -115,7 +125,6 @@ def main(argv: list[str] | None = None) -> int:
             LOG.error("No input file provided.")
             return 1
 
-    pen = _parse_penalties(args.affine_penalties)
     LOG.info("Penalties: M=0, X=%d, O=%d, E=%d.", pen.x, pen.o, pen.e)
 
     max_error = args.max_distance

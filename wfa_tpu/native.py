@@ -182,16 +182,12 @@ def cpu_align_batch(
     if compute_cigar:
         if cigar_stride <= 0:
             cigar_stride = 4096
-        while True:
-            cig_buf = np.zeros(n * cigar_stride, dtype=np.uint8)
-            lib.wfa_cpu_align_batch(
-                _ptr(buf), _ptr(p_off), _ptr(t_off), _ptr(p_len), _ptr(t_len),
-                _ptr(mask8), n, pen.x, pen.o, pen.e,
-                _ptr(dist), _ptr(cig_buf), cigar_stride, _ptr(status), adp,
-            )
-            if not (status == 2).any():
-                break
-            cigar_stride *= 4
+        cig_buf = np.zeros(n * cigar_stride, dtype=np.uint8)
+        lib.wfa_cpu_align_batch(
+            _ptr(buf), _ptr(p_off), _ptr(t_off), _ptr(p_len), _ptr(t_len),
+            _ptr(mask8), n, pen.x, pen.o, pen.e,
+            _ptr(dist), _ptr(cig_buf), cigar_stride, _ptr(status), adp,
+        )
         cigars: list[str | None] = []
         raw = cig_buf.tobytes()
         for i in range(n):
@@ -200,6 +196,17 @@ def cpu_align_batch(
                 cigars.append(s.split(b"\0", 1)[0].decode())
             else:
                 cigars.append(None)
+        # Overflow retry on the failing rows only: one pathological
+        # alignment must not make every row pay the wider-stride replay.
+        over = np.flatnonzero(status == 2)
+        if over.size:
+            sub_d, sub_c, sub_s = cpu_align_batch(
+                [patterns[i] for i in over], [texts[i] for i in over],
+                pen, mask8[over], True, cigar_stride * 4, adaptive,
+            )
+            dist[over], status[over] = sub_d, sub_s
+            for j, i in enumerate(over):
+                cigars[i] = sub_c[j]
     else:
         lib.wfa_cpu_align_batch(
             _ptr(buf), _ptr(p_off), _ptr(t_off), _ptr(p_len), _ptr(t_len),
@@ -234,19 +241,15 @@ def traceback_batch(
 
     if cigar_stride <= 0:
         cigar_stride = max(64, 8 * int(distances.max(initial=0)) + 64)
-    while True:
-        cig_buf = np.zeros(B * cigar_stride, dtype=np.uint8)
-        lib.wfa_traceback_batch(
-            _ptr(choices), _ptr(lo_trace), S, B, W,
-            _ptr(step_of_score), len(step_of_score) - 1,
-            _ptr(distances), _ptr(fin8),
-            _ptr(buf), _ptr(p_off), _ptr(t_off), _ptr(p_len), _ptr(t_len),
-            pen.x, pen.o, pen.e,
-            _ptr(cig_buf), cigar_stride, _ptr(status),
-        )
-        if not (status == 2).any():
-            break
-        cigar_stride *= 4
+    cig_buf = np.zeros(B * cigar_stride, dtype=np.uint8)
+    lib.wfa_traceback_batch(
+        _ptr(choices), _ptr(lo_trace), S, B, W,
+        _ptr(step_of_score), len(step_of_score) - 1,
+        _ptr(distances), _ptr(fin8),
+        _ptr(buf), _ptr(p_off), _ptr(t_off), _ptr(p_len), _ptr(t_len),
+        pen.x, pen.o, pen.e,
+        _ptr(cig_buf), cigar_stride, _ptr(status),
+    )
     bad = status > 2
     if bad.any():
         raise RuntimeError(
@@ -261,6 +264,17 @@ def traceback_batch(
             cigars.append(s.split(b"\0", 1)[0].decode())
         else:
             cigars.append(None)
+    over = np.flatnonzero(status == 2)
+    if over.size:  # retry the overflowing subset only
+        sub_c, sub_s = traceback_batch(
+            choices[:, over], lo_trace[:, over], step_of_score,
+            distances[over], finished[over],
+            [patterns[i] for i in over], [texts[i] for i in over],
+            pen, cigar_stride * 4,
+        )
+        status[over] = sub_s
+        for j, i in enumerate(over):
+            cigars[i] = sub_c[j]
     return cigars, status
 
 
@@ -284,16 +298,12 @@ def cigar_from_ops_batch(
 
     if cigar_stride <= 0:
         cigar_stride = max(64, 8 * int(n_ops.max(initial=0)) + 64)
-    while True:
-        cig_buf = np.zeros(B * cigar_stride, dtype=np.uint8)
-        lib.wfa_cigar_from_ops_batch(
-            _ptr(ops_words), B, OPW, _ptr(n_ops), _ptr(fin8),
-            _ptr(buf), _ptr(p_off), _ptr(t_off), _ptr(p_len), _ptr(t_len),
-            _ptr(cig_buf), cigar_stride, _ptr(status),
-        )
-        if not (status == 2).any():
-            break
-        cigar_stride *= 4
+    cig_buf = np.zeros(B * cigar_stride, dtype=np.uint8)
+    lib.wfa_cigar_from_ops_batch(
+        _ptr(ops_words), B, OPW, _ptr(n_ops), _ptr(fin8),
+        _ptr(buf), _ptr(p_off), _ptr(t_off), _ptr(p_len), _ptr(t_len),
+        _ptr(cig_buf), cigar_stride, _ptr(status),
+    )
     cigars: list[str | None] = []
     raw = cig_buf.tobytes()
     for i in range(B):
@@ -302,6 +312,16 @@ def cigar_from_ops_batch(
             cigars.append(s.split(b"\0", 1)[0].decode())
         else:
             cigars.append(None)
+    over = np.flatnonzero(status == 2)
+    if over.size:  # retry the overflowing subset only
+        sub_c, sub_s = cigar_from_ops_batch(
+            ops_words[over], n_ops[over], finished[over],
+            [patterns[i] for i in over], [texts[i] for i in over],
+            cigar_stride * 4,
+        )
+        status[over] = sub_s
+        for j, i in enumerate(over):
+            cigars[i] = sub_c[j]
     return cigars, status
 
 
@@ -332,19 +352,15 @@ def traceback_batch_packed(
 
     if cigar_stride <= 0:
         cigar_stride = max(64, 8 * int(distances.max(initial=0)) + 64)
-    while True:
-        cig_buf = np.zeros(B * cigar_stride, dtype=np.uint8)
-        lib.wfa_traceback_batch_packed(
-            _ptr(words), C, B, W,
-            lo_ptr, lo_stride, lo_const,
-            _ptr(distances), _ptr(fin8),
-            _ptr(buf), _ptr(p_off), _ptr(t_off), _ptr(p_len), _ptr(t_len),
-            pen.x, pen.o, pen.e,
-            _ptr(cig_buf), cigar_stride, _ptr(status),
-        )
-        if not (status == 2).any():
-            break
-        cigar_stride *= 4
+    cig_buf = np.zeros(B * cigar_stride, dtype=np.uint8)
+    lib.wfa_traceback_batch_packed(
+        _ptr(words), C, B, W,
+        lo_ptr, lo_stride, lo_const,
+        _ptr(distances), _ptr(fin8),
+        _ptr(buf), _ptr(p_off), _ptr(t_off), _ptr(p_len), _ptr(t_len),
+        pen.x, pen.o, pen.e,
+        _ptr(cig_buf), cigar_stride, _ptr(status),
+    )
     bad = status > 2
     if bad.any():
         raise RuntimeError(
@@ -359,6 +375,18 @@ def traceback_batch_packed(
             cigars.append(s.split(b"\0", 1)[0].decode())
         else:
             cigars.append(None)
+    over = np.flatnonzero(status == 2)
+    if over.size:  # retry the overflowing subset only
+        sub_c, sub_s = traceback_batch_packed(
+            words[:, over],
+            lo_trace[over] if lo_trace is not None else None,
+            lo_const, distances[over], finished[over],
+            [patterns[i] for i in over], [texts[i] for i in over],
+            pen, cigar_stride * 4,
+        )
+        status[over] = sub_s
+        for j, i in enumerate(over):
+            cigars[i] = sub_c[j]
     return cigars, status
 
 

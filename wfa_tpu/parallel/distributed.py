@@ -102,16 +102,37 @@ def merge_sharded_scores(
 ) -> np.ndarray:
     """Undo the strided host sharding: per_host[p][j] is global index
     p + j*nproc.  Inverse of host_shard for score arrays (e.g. after
-    allgather_scores)."""
+    allgather_scores); rows longer than the host's shard (allgather
+    padding) are trimmed."""
     nproc = len(per_host)
     out = np.empty(total, dtype=np.asarray(per_host[0]).dtype)
     for p, arr in enumerate(per_host):
-        out[p:total:nproc] = arr
+        k = len(range(p, total, nproc))
+        out[p:total:nproc] = np.asarray(arr)[:k]
     return out
 
 
-def allgather_scores(local_scores: np.ndarray) -> np.ndarray:
-    """Gather per-host score arrays to every host (DCN collective)."""
+def allgather_scores(
+    local_scores: np.ndarray,
+    total: int | None = None,
+    fill: int = -1,
+) -> np.ndarray:
+    """Gather per-host score arrays to every host (DCN collective).
+
+    `process_allgather` requires equal-length arrays on every host, but
+    `host_shard` shards are unequal whenever ``total % nproc != 0`` — pass
+    ``total`` (the global batch size) and each host pads its shard to
+    ``ceil(total/nproc)`` with ``fill`` before the collective; the padding
+    is trimmed again by `merge_sharded_scores`.  Without ``total`` the
+    local arrays must already be equal-length across hosts.
+    """
+    import jax
     from jax.experimental import multihost_utils
 
-    return np.asarray(multihost_utils.process_allgather(local_scores))
+    local = np.asarray(local_scores)
+    if total is not None:
+        width = -(-total // jax.process_count())
+        padded = np.full(width, fill, dtype=local.dtype)
+        padded[: len(local)] = local
+        local = padded
+    return np.asarray(multihost_utils.process_allgather(local))
