@@ -460,8 +460,11 @@ def _bench_pipeline_overlap() -> tuple[str, float, str]:
         f"{t_single / t_piped:.2f}x, {n_cpu}/{n} pairs on CPU fallback)",
         file=sys.stderr,
     )
+    # The label carries the MEASURED fallback share so BENCH_rN.json and
+    # BASELINE.md can never disagree about the workload mix again.
     return (
-        "pipeline overlap factor (1kbp CIGAR, 25% CPU-fallback)",
+        f"pipeline overlap factor (1kbp CIGAR, 8 batches, "
+        f"{100 * n_cpu // n}% CPU-fallback measured)",
         t_single / t_piped,
         "x",
     )

@@ -172,3 +172,57 @@ def test_pallas_cigar_on_hw(band):
     for b, (p, t) in enumerate(pairs):
         assert check_cigar(cigars[b], p, t)
         assert affine_score(cigars[b], pen) == dist[b]
+
+
+@requires_tpu
+@pytest.mark.parametrize("band", [-1, 10])
+def test_sharded_fused_cigar_on_hw(band):
+    """The shard_map + fused align+walk composition — the exact code a real
+    pod takes for the flagship CIGAR mode — compiles and runs on real
+    hardware over a (possibly single-chip) device mesh, matching the
+    unsharded fused call bit-for-bit."""
+    import jax.numpy as jnp
+
+    from wfa_tpu import native
+    from wfa_tpu.ops.engine_pallas import PallasConfig
+    from wfa_tpu.ops.packing import pack_batch
+    from wfa_tpu.ops.traceback_pallas import (
+        TracebackConfig, align_cigar_fused,
+    )
+    from wfa_tpu.parallel.mesh import align_cigar_fused_sharded, data_mesh
+    from wfa_tpu.schedule import build_schedule
+    from wfa_tpu.types import Penalties
+
+    pen = Penalties(2, 3, 1)
+    pairs = make_pairs(31, sizes=(20, 80, 120), errs=(0.0, 0.06))
+    ndev = len(jax.local_devices())
+    b = ((16 + 8 * ndev - 1) // (8 * ndev)) * (8 * ndev)
+    pairs = (pairs * ((b // len(pairs)) + 1))[:b]
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    pat, plen, vp = pack_batch(pats, 128)
+    txt, tlen, vt = pack_batch(txts, 128)
+    sched = build_schedule(pen, 100, None)
+    cfg = PallasConfig(
+        penalties=pen, max_steps=100, wf_width=128, tile_batch=8,
+        band=band, compute_cigar=True, score_cap=sched.unfinished_score + 1,
+    )
+    tb_cfg = TracebackConfig(
+        penalties=pen, wf_width=cfg.wf_width, score_cap=cfg.score_cap,
+        banded=band > 0, lo_pad=cfg.lo_pad if band > 0 else 0,
+    )
+    dev_args = (
+        jnp.asarray(pat), jnp.asarray(txt),
+        jnp.asarray(plen), jnp.asarray(tlen), jnp.asarray(vp & vt),
+    )
+    mesh = data_mesh()
+    arr_s = np.asarray(align_cigar_fused_sharded(cfg, tb_cfg, mesh, *dev_args))
+    arr_1 = np.asarray(align_cigar_fused(cfg, tb_cfg, *dev_args))
+    np.testing.assert_array_equal(arr_s, arr_1)
+    fin = arr_s[:, 1] != 0
+    n_ops = arr_s[:, 2]
+    assert fin.all() and (n_ops >= 0).all()
+    cigars, _ = native.cigar_from_ops_batch(
+        np.ascontiguousarray(arr_s[:, 4:]), n_ops, fin, pats, txts
+    )
+    assert all(c is not None for c in cigars)

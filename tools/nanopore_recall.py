@@ -1,11 +1,22 @@
-"""Band-width recall on the Nanopore-like 20kbp workload (BASELINE.md).
+"""Band-width recall on Nanopore-like 20kbp workloads (BASELINE.md).
 
 The reference's approximate-mode chart (README.md:123-137) reports recall
 on a Nanopore dataset; round 1 only measured HiFi recall.  Exact reference
 scores come from the wide exact Pallas kernel itself (W=6144 certifies
-distances < o + e·(W/2+1) = 3076 at penalties 2,3,1 — the 6% workload's
-distances sit well below), cross-checked against the CPU oracle on a
-subsample.
+distances < o + e·(W/2+1) = 3076 at penalties 2,3,1), cross-checked
+against the CPU oracle on a subsample.
+
+Two read models:
+
+* default: uniform 6% error.  Uniform errors keep the optimal path
+  centered, so every band width recalls 100% — this mode bounds the easy
+  case but cannot discriminate.
+* ``--burst``: 1% background error plus clustered structural events
+  (200–500 bp insertions/deletions and 50–300 bp high-error patches at
+  random loci).  Long indels displace the optimal path by hundreds of
+  diagonals between re-centering steps, which is exactly what the banded
+  heuristic can miss — this is the recall curve that can actually fail
+  (the analog of the reference's real-Nanopore recall chart).
 """
 import sys
 import time
@@ -29,11 +40,44 @@ from wfa_tpu.ops.engine_pallas import PallasConfig, align_batch_pallas
 from wfa_tpu.ops.packing import pack_batch
 from wfa_tpu.types import Penalties
 
+BURST = "--burst" in sys.argv
+
+
+def _mutate_bursts(rng, seqs, bg_err=0.01, n_bursts=3):
+    """Background error plus clustered indel/substitution bursts."""
+    out = []
+    for s in seqs:
+        t = bytearray(bench._mutate_batch(rng, [s], bg_err)[0])
+        for _ in range(n_bursts):
+            kind = rng.integers(0, 3)
+            pos = int(rng.integers(100, max(101, len(t) - 600)))
+            if kind == 0:      # long deletion
+                ln = int(rng.integers(200, 501))
+                del t[pos : pos + ln]
+            elif kind == 1:    # long insertion
+                ln = int(rng.integers(200, 501))
+                ins = rng.choice(
+                    np.frombuffer(b"ACGT", dtype=np.uint8), size=ln
+                ).tobytes()
+                t[pos:pos] = ins
+            else:              # high-error patch
+                ln = int(rng.integers(50, 301))
+                patch = bench._mutate_batch(
+                    rng, [bytes(t[pos : pos + ln])], 0.4
+                )[0]
+                t[pos : pos + ln] = patch
+        out.append(bytes(t))
+    return out
+
+
 rng = np.random.default_rng(7)
 bases = np.frombuffer(b"ACGT", dtype=np.uint8)
 n = 128
 pats = [rng.choice(bases, size=20000).tobytes() for _ in range(n)]
-txts = bench._mutate_batch(rng, pats, 0.06)
+if BURST:
+    txts = _mutate_bursts(rng, pats)
+else:
+    txts = bench._mutate_batch(rng, pats, 0.06)
 
 lmax = max(max(len(p), len(t)) for p, t in zip(pats, txts))
 nwp = ((lmax // 16 + 16 + 127) // 128) * 128
