@@ -94,6 +94,44 @@ def test_packed_decoder_matches_step_decoder(band):
 @pytest.mark.parametrize(
     "band,pen",
     [(-1, Penalties(2, 3, 1)), (10, Penalties(2, 3, 1)),
+     (-1, Penalties(3, 5, 2)), (10, Penalties(4, 1, 2))],
+    ids=["exact", "banded", "exact-x3o5e2", "banded-x4o1e2"],
+)
+def test_two_score_body_matches_one_score(band, pen):
+    """The software-pipelined two-score kernel body (cfg.two_score_body,
+    auto-on when min(x, o+e) >= 2) must reproduce the sequential one-score
+    body bit-for-bit: identical `finished` and identical distances on
+    finished lanes."""
+    pairs = make_pairs(23, sizes=(6, 33, 90, 128), errs=(0.0, 0.05, 0.2))
+    pairs = (pairs + pairs)[:24]
+    nwp = 128
+    pat, plen, vp = pack_batch([p for p, _ in pairs], nwp)
+    txt, tlen, vt = pack_batch([t for _, t in pairs], nwp)
+    args = (
+        jnp.asarray(pat), jnp.asarray(txt),
+        jnp.asarray(plen), jnp.asarray(tlen), jnp.asarray(vp & vt),
+    )
+    outs = []
+    for tsb in (0, -1):
+        cfg = PallasConfig(
+            penalties=pen, max_steps=90, wf_width=128, tile_batch=8,
+            band=band, two_score_body=tsb,
+        )
+        if tsb != 0:
+            assert cfg.stacked_scores == 2
+        with pltpu.force_tpu_interpret_mode():
+            out = align_batch_pallas(cfg, *args)
+            outs.append(
+                (np.asarray(out["distance"]), np.asarray(out["finished"]))
+            )
+    (d1, f1), (d2, f2) = outs
+    np.testing.assert_array_equal(f1, f2)
+    np.testing.assert_array_equal(d1[f1], d2[f2])
+
+
+@pytest.mark.parametrize(
+    "band,pen",
+    [(-1, Penalties(2, 3, 1)), (10, Penalties(2, 3, 1)),
      (-1, Penalties(1, 0, 1)), (10, Penalties(4, 1, 2))],
     ids=["exact", "banded", "exact-o0", "banded-x4o1e2"],
 )
