@@ -129,6 +129,50 @@ def test_two_score_body_matches_one_score(band, pen):
     np.testing.assert_array_equal(d1[f1], d2[f2])
 
 
+def test_two_score_body_cigar_structure():
+    """CIGAR-mode carry threading of the two-score body (chunk nibble
+    packing parity, lo_buf spill) vs the one-score body.  The choice-table
+    DMA can't run in interpret mode, so it is skipped (debug_skip_dma) and
+    the comparison covers distance, finished, and the banded lo trace; the
+    DMA'd table itself is validated by the HW tests."""
+    from wfa_tpu.schedule import build_schedule
+
+    pen = Penalties(2, 3, 1)
+    pairs = make_pairs(19, sizes=(12, 50, 110), errs=(0.0, 0.08))
+    pairs = (pairs + pairs)[:16]
+    nwp = 128
+    pat, plen, vp = pack_batch([p for p, _ in pairs], nwp)
+    txt, tlen, vt = pack_batch([t for _, t in pairs], nwp)
+    args = (
+        jnp.asarray(pat), jnp.asarray(txt),
+        jnp.asarray(plen), jnp.asarray(tlen), jnp.asarray(vp & vt),
+    )
+    sched = build_schedule(pen, 90, None)
+    outs = []
+    for tsb in (0, -1):
+        cfg = PallasConfig(
+            penalties=pen, max_steps=90, wf_width=128, tile_batch=8,
+            band=10, compute_cigar=True, score_cap=sched.unfinished_score + 1,
+            two_score_body=tsb, debug_skip_dma=True,
+        )
+        with pltpu.force_tpu_interpret_mode():
+            out = align_batch_pallas(cfg, *args)
+            outs.append((
+                np.asarray(out["distance"]), np.asarray(out["finished"]),
+                np.asarray(out["lo_trace"]),
+            ))
+    (d1, f1, lo1), (d2, f2, lo2) = outs
+    np.testing.assert_array_equal(f1, f2)
+    np.testing.assert_array_equal(d1[f1], d2[f2])
+    # lo rows are only meaningful up to each lane's walk start (its
+    # distance); compare the fully-spilled prefix rows.
+    for b in range(len(pairs)):
+        if f1[b]:
+            np.testing.assert_array_equal(
+                lo1[b, : d1[b] + 1], lo2[b, : d2[b] + 1], err_msg=f"b={b}"
+            )
+
+
 @pytest.mark.parametrize(
     "band,pen",
     [(-1, Penalties(2, 3, 1)), (10, Penalties(2, 3, 1)),

@@ -75,6 +75,16 @@ def main(argv: list[str] | None = None) -> int:
     # invocations (the analog of the reference building its cubins once).
     import os
 
+    # WFA_TPU_PLATFORM=cpu forces the JAX platform before first device use
+    # (the JAX_PLATFORMS env var is ignored by some remote-TPU plugins, so
+    # this goes through jax.config); useful for running the CLI on hosts
+    # whose accelerator is absent or unreachable.
+    platform = os.environ.get("WFA_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     cache_dir = os.environ.get(
         "WFA_TPU_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "wfa_tpu_xla"),

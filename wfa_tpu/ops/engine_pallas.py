@@ -105,6 +105,14 @@ class PallasConfig:
     # Wide exact-CIGAR windows need slightly more stack for the staged
     # extension + choice-chunk carry.
     vmem_limit_bytes: int = 0
+    # Two-score software-pipelined body: each loop iteration processes scores
+    # (d, d+1) with ONE stacked [2*BT, W] LCP extension, amortizing the
+    # extension's latency chains (80-85% of step time, BASELINE.md SOL) over
+    # twice the sublanes.  Legal when min(x, o+e) >= 2: score d+1's
+    # recurrence then reads only M rows <= d-1 plus the PRE-extension I/D
+    # rows of score d, so the two extensions are independent.
+    # -1 = auto (on when legal), 0 = off.
+    two_score_body: int = -1
 
     def __post_init__(self):
         assert self.wf_width % LANE == 0
@@ -117,6 +125,13 @@ class PallasConfig:
     @property
     def banded(self) -> bool:
         return self.band > 0
+
+    @property
+    def stacked_scores(self) -> int:
+        if self.two_score_body == 0:
+            return 1
+        p = self.penalties
+        return 2 if min(p.x, p.o + p.e) >= 2 else 1
 
     @property
     def num_chunks(self) -> int:
@@ -180,10 +195,16 @@ def _gather_chunks(load_chunk, n_chunks: int, idx: jnp.ndarray, fill, dtype):
 
 def _gather_words(words_ref, idx: jnp.ndarray) -> jnp.ndarray:
     bt = idx.shape[0]
+    rows = words_ref.shape[0]
     n_chunks = words_ref.shape[1] // LANE
+    assert bt % rows == 0
+    rep = bt // rows  # >1 when a stacked multi-score extension shares a tile
 
     def load_chunk(tc):
-        return words_ref[pl.ds(0, bt), pl.ds(tc * LANE, LANE)]
+        c = words_ref[pl.ds(0, rows), pl.ds(tc * LANE, LANE)]
+        if rep > 1:
+            c = jnp.concatenate([c] * rep, axis=0)
+        return c
 
     return _gather_chunks(load_chunk, n_chunks, idx, 0, jnp.uint32)
 
@@ -386,9 +407,11 @@ def _extend(offs, k, pat_ref, txt_ref, plen, tlen,
             )
 
         v_c, h_c, a_c = pick(v), pick(h), pick(active)
-        _, _, acc_c, _ = jax.lax.while_loop(
-            cond, make_body(span), (v_c, h_c, jnp.zeros_like(v_c), a_c)
-        )
+        # Do-while: the common case is exactly one wide stride, so run the
+        # body once unconditionally and let the while cond (a ~380 ns
+        # vector->scalar sync) fire once at exit instead of enter + exit.
+        st1 = make_body(span)((v_c, h_c, jnp.zeros_like(v_c), a_c))
+        _, _, acc_c, _ = jax.lax.while_loop(cond, make_body(span), st1)
         rel = lane_i - base_l
         add = _gather_chunks(
             lambda tc: acc_c, 1,
@@ -408,11 +431,10 @@ def _extend(offs, k, pat_ref, txt_ref, plen, tlen,
         )
         return acc_f
 
-    acc = jax.lax.cond(
-        any_active,
-        lambda: jax.lax.cond(fits, compact_path, full_path),
-        lambda: acc0,
-    )
+    # One 3-way dispatch instead of two nested conds: both reduces issue
+    # together and a single branch select follows.
+    sel = jnp.where(any_active, jnp.where(fits, 2, 1), 0).astype(jnp.int32)
+    acc = jax.lax.switch(sel, [lambda: acc0, full_path, compact_path])
     return jnp.where(invalid, NULL, offs + acc)
 
 
@@ -812,6 +834,349 @@ def _wfa_kernel(cfg: PallasConfig):
                         all_done, chunk)
             return d + 1, steps, m_bits, i_bits, done, fin, dist, all_done
 
+        # ---- Two-score software-pipelined body (cfg.stacked_scores == 2) ----
+        # Processes scores (d, d+1) per iteration with one stacked [2*BT, W]
+        # extension.  Legality (min(x, o+e) >= 2) guarantees score d+1's
+        # recurrence never reads M(d); its e==1 parents I/D(d) are forwarded
+        # in-register PRE-extension, exactly matching what the ring would
+        # hold.  Gating: score d+1 is suppressed (ok1) when the sequential
+        # loop would have exited after score d (steps/score_cap bounds), so
+        # `finished` matches the one-score body bit-for-bit.
+
+        def exist_flags(d, mb, ib):
+            u0, u1 = jnp.uint32(0), jnp.uint32(1)
+            m_x = jnp.where(d >= x, (mb >> (x - 1)) & u1, u0)
+            g_oe = jnp.where(d >= o + e, (mb >> (o + e - 1)) & u1, u0)
+            g_ie = jnp.where(d >= e, (ib >> (e - 1)) & u1, u0)
+            return m_x, g_oe, g_ie
+
+        def recurrence(d, m_x, gap_oe, gap_ie, in_reg):
+            """Pre-extension recurrence products for score d (the reference's
+            next_MDI minus WF_extend).  ``in_reg`` forwards (I_row, D_row[,
+            lo, ext]) of score d-e when that score is the body's first score
+            (e == 1); None reads the ring."""
+            gap = (gap_oe | gap_ie) != 0
+            ok_x = m_x != 0
+            ok_oe = gap_oe != 0
+            ok_ie = gap_ie != 0
+            sx = jax.lax.rem(d - x + A * 8, A)
+            soe = jax.lax.rem(d - o - e + A * 8, A)
+            se = jax.lax.rem(d - e + A * 8, A)
+            Mx = read_row(0, sx)
+            Moe = read_row(0, soe)
+            if in_reg is None:
+                Ie = read_row(1, se)
+                De = read_row(2, se)
+            else:
+                Ie, De = in_reg[0], in_reg[1]
+            if not banded:
+                Mxv = jnp.where(ok_x, Mx, NULL)
+                Moev = jnp.where(ok_oe, Moe, NULL)
+                Iev = jnp.where(ok_ie, Ie, NULL)
+                Dev = jnp.where(ok_ie, De, NULL)
+                I_open = _shift_k_minus_1(Moev) + 1
+                I_ext = _shift_k_minus_1(Iev) + 1
+                D_open = _shift_k_plus_1(Moev)
+                D_ext = _shift_k_plus_1(Dev)
+                X_off = Mxv + 1
+                k_row = lane - W2
+                lo_n = None
+                ext_n = None
+            else:
+                lo_x, ext_x = read_win(sx)
+                lo_oe, ext_oe = read_win(soe)
+                if in_reg is None:
+                    lo_se, ext_se = read_win(se)
+                else:
+                    lo_se, ext_se = in_reg[2], in_reg[3]
+
+                def bounds(lo_p, ext_p, ok):
+                    hi_p = jnp.where(ok, lo_p + ext_p, -BIG)
+                    lo_b = jnp.where(ok, lo_p, BIG)
+                    return hi_p, lo_b
+
+                hi_x_b, lo_x_b = bounds(lo_x, ext_x, ok_x)
+                hi_oe_b, lo_oe_b = bounds(lo_oe, ext_oe, ok_oe)
+                hi_e_b, lo_e_b = bounds(lo_se, ext_se, ok_ie)
+
+                hi_id = jnp.maximum(hi_oe_b, hi_e_b) + 1
+                lo_id = jnp.minimum(lo_oe_b, lo_e_b) - 1
+                hi_n = jnp.maximum(hi_x_b, hi_id)
+                lo_n = jnp.minimum(lo_x_b, lo_id)
+                t = jnp.maximum((hi_n - lo_n) - (W - 1), 0)
+                hi_n = hi_n - (t + 1) // 2
+                lo_n = lo_n + t // 2
+
+                recenter_step = jax.lax.rem(d, cfg.band) == 0
+                do_rc = jnp.where(
+                    (ext_x >= W - 1) & recenter_step & gap & ok_x, 1, 0
+                )
+                kx = lo_x + lane
+                d2t = jnp.where(
+                    Mx >= 0,
+                    jnp.maximum(plen - (Mx - kx), tlen - Mx),
+                    BIG,
+                )
+                d2t = jnp.where(lane < ext_x, d2t, BIG)
+                sentinel = 2 * (tlen + plen)
+                mval = jnp.min(d2t, axis=1, keepdims=True)
+                first = jnp.min(
+                    jnp.where(d2t == mval, lane, BIG),
+                    axis=1, keepdims=True,
+                )
+                center = jnp.where(mval < sentinel, lo_x + first, lo_x)
+                lo_n = jnp.where(do_rc != 0, center - W2, lo_n)
+                hi_n = jnp.where(do_rc != 0, center - W2 + W - 1, hi_n)
+                ext_n = hi_n - lo_n
+
+                def wread_gather(row, lo_p, ext_p, ok, dk):
+                    rel = (lo_n - lo_p) + lane + dk
+                    vals = _gather_chunks(
+                        lambda tc: row[:, tc * LANE : (tc + 1) * LANE],
+                        W // LANE,
+                        jnp.where((rel >= 0) & (rel <= ext_p), rel, -1),
+                        NULL, jnp.int32,
+                    )
+                    return jnp.where(ok, vals, NULL)
+
+                if cfg.debug_skip_wread:
+                    I_open = jnp.where(ok_oe, Moe, NULL) + 1
+                    I_ext = jnp.where(ok_ie, Ie, NULL) + 1
+                    D_open = jnp.where(ok_oe, Moe, NULL)
+                    D_ext = jnp.where(ok_ie, De, NULL)
+                    X_off = jnp.where(ok_x, Mx, NULL) + 1
+                else:
+                    I_open = wread_gather(Moe, lo_oe, ext_oe, ok_oe, -1) + 1
+                    I_ext = wread_gather(Ie, lo_se, ext_se, ok_ie, -1) + 1
+                    D_open = wread_gather(Moe, lo_oe, ext_oe, ok_oe, +1)
+                    D_ext = wread_gather(De, lo_se, ext_se, ok_ie, +1)
+                    X_off = wread_gather(Mx, lo_x, ext_x, ok_x, 0) + 1
+                k_row = lo_n + lane
+
+            I_pb = jnp.maximum(_pack(I_open, 1), _pack(I_ext, 2))
+            I_new = I_pb >> 2
+            D_pb = jnp.maximum(_pack(D_open, 1), _pack(D_ext, 2))
+            D_new = D_pb >> 2
+            M_pb = jnp.maximum(
+                jnp.maximum(
+                    _pack(X_off, int(AffineOp.SUB)),
+                    _pack(D_new, int(AffineOp.DEL)),
+                ),
+                _pack(I_new, int(AffineOp.INS)),
+            )
+            if banded:
+                lane_live = lane <= ext_n
+                I_new = jnp.where(lane_live, I_new, NULL)
+                D_new = jnp.where(lane_live, D_new, NULL)
+            return (M_pb, I_pb, D_pb, I_new, D_new, k_row, lo_n, ext_n)
+
+        def settle(d, exist, k_row, ext_n, M_new, I_new, D_new, lo_n,
+                   done, fin, dist):
+            """Termination test + freeze-masked state writes for one score."""
+            if banded:
+                M_new = jnp.where(lane <= ext_n, M_new, NULL)
+            m_at_t = jnp.max(
+                jnp.where(k_row == target_k, M_new, NULL),
+                axis=1, keepdims=True,
+            )
+            reach = jnp.abs(target_k) <= d
+            hit = reach & (m_at_t == target_off)
+            if banded:
+                stop = reach & (m_at_t >= target_off)
+            else:
+                stop = hit
+            exist_i = jnp.where(exist, 1, 0).astype(jnp.int32)
+            newly = jnp.where(stop, 1 - done, 0).astype(jnp.int32) * exist_i
+            newfin = jnp.where(hit, newly, 0)
+            fin = jnp.maximum(fin, newfin)
+            dist = jnp.where(newly != 0, d, dist)
+            done = jnp.maximum(done, newly)
+
+            oslot = jax.lax.rem(d, A)
+            live = ((done == 0) | (newly != 0)) & exist
+            old_m = state_ref[pl.ds(oslot, 1), :, :][0]
+            old_i = state_ref[pl.ds(A + oslot, 1), :, :][0]
+            old_d = state_ref[pl.ds(2 * A + oslot, 1), :, :][0]
+            state_ref[pl.ds(oslot, 1), :, :] = jnp.where(
+                live, M_new, old_m
+            )[None]
+            state_ref[pl.ds(A + oslot, 1), :, :] = jnp.where(
+                live, I_new, old_i
+            )[None]
+            state_ref[pl.ds(2 * A + oslot, 1), :, :] = jnp.where(
+                live, D_new, old_d
+            )[None]
+            if banded:
+                old_lo = win_ref[pl.ds(oslot, 1), :, :][0]
+                old_ext = win_ref[pl.ds(A + oslot, 1), :, :][0]
+                win_ref[pl.ds(oslot, 1), :, :] = jnp.where(
+                    live, lo_n, old_lo
+                )[None]
+                win_ref[pl.ds(A + oslot, 1), :, :] = jnp.where(
+                    live, ext_n, old_ext
+                )[None]
+            return done, fin, dist
+
+        def _mk_choice(M_pb, I_pb, D_pb):
+            m_op = M_pb & 3
+            m_choice = jnp.where(
+                m_op == int(AffineOp.SUB),
+                M_FROM_X,
+                jnp.where(m_op == int(AffineOp.INS), M_FROM_I, M_FROM_D),
+            )
+            return (
+                m_choice
+                | (((I_pb & 3) == 2).astype(jnp.int32) << I_FROM_EXTEND_BIT)
+                | (((D_pb & 3) == 2).astype(jnp.int32) << D_FROM_EXTEND_BIT)
+            )
+
+        def body2(carry):
+            if cigar and banded:
+                (d, steps, m_bits, i_bits, done, fin, dist, all_done,
+                 chunk, lo_buf) = carry
+            elif cigar:
+                (d, steps, m_bits, i_bits, done, fin, dist, all_done,
+                 chunk) = carry
+            else:
+                d, steps, m_bits, i_bits, done, fin, dist, all_done = carry
+
+            u0, u1 = jnp.uint32(0), jnp.uint32(1)
+            m_x0, goe0, gie0 = exist_flags(d, m_bits, i_bits)
+            gap0 = (goe0 | gie0) != 0
+            ex0 = gap0 | (m_x0 != 0)
+            steps1 = steps + jnp.where(gap0, 1, 0)
+            mb1 = (m_bits << 1) | jnp.where(ex0, u1, u0)
+            ib1 = (i_bits << 1) | jnp.where(gap0, u1, u0)
+            ok1 = steps1 < cfg.max_steps - 1
+            if cfg.score_cap > 0:
+                ok1 = ok1 & (d + 1 < cfg.score_cap)
+            m_x1, goe1, gie1 = exist_flags(d + 1, mb1, ib1)
+            m_x1 = jnp.where(ok1, m_x1, u0)
+            goe1 = jnp.where(ok1, goe1, u0)
+            gie1 = jnp.where(ok1, gie1, u0)
+            gap1 = (goe1 | gie1) != 0
+            ex1 = gap1 | (m_x1 != 0)
+
+            def compute2(done, fin, dist):
+                r0 = recurrence(d, m_x0, goe0, gie0, None)
+                in_reg = (r0[3], r0[4], r0[6], r0[7]) if e == 1 else None
+                r1 = recurrence(d + 1, m_x1, goe1, gie1, in_reg)
+                offs2 = jnp.concatenate([r0[0] >> 2, r1[0] >> 2], axis=0)
+                k2 = jnp.concatenate([r0[5], r1[5]], axis=0)
+                if cfg.debug_skip_extend:
+                    M2 = offs2
+                else:
+                    pl2 = jnp.concatenate([plen, plen], axis=0)
+                    tl2 = jnp.concatenate([tlen, tlen], axis=0)
+                    M2 = _extend(
+                        offs2, k2, pat_ref, txt_ref, pl2, tl2,
+                        cfg.extend_span, cfg.extend_first_span,
+                        cfg.staged_extend,
+                    )
+                done, fin, dist = settle(
+                    d, ex0, r0[5], r0[7], M2[:BT], r0[3], r0[4], r0[6],
+                    done, fin, dist,
+                )
+                done, fin, dist = settle(
+                    d + 1, ex1, r1[5], r1[7], M2[BT:], r1[3], r1[4], r1[6],
+                    done, fin, dist,
+                )
+                if not cigar:
+                    return done, fin, dist
+                # Mask by per-score existence so the choice/lo tables match
+                # the one-score body bit-for-bit (it writes zeros for
+                # nonexistent scores via zero_pass; the walk never visits
+                # them, but bit parity keeps cross-body table comparisons
+                # and the corrupt-walk detector deterministic).
+                z = jnp.zeros((BT, W), jnp.int32)
+                ch0 = jnp.where(ex0, _mk_choice(r0[0], r0[1], r0[2]), z)
+                ch1 = jnp.where(ex1, _mk_choice(r1[0], r1[1], r1[2]), z)
+                if banded:
+                    z1 = jnp.zeros((BT, 1), jnp.int32)
+                    lo0 = jnp.where(ex0, r0[6], z1)
+                    lo1 = jnp.where(ex1, r1[6], z1)
+                    return done, fin, dist, ch0, ch1, lo0, lo1
+                return done, fin, dist, ch0, ch1
+
+            if cigar and banded:
+                zero2 = lambda done, fin, dist: (
+                    done, fin, dist,
+                    jnp.zeros((BT, W), jnp.int32), jnp.zeros((BT, W), jnp.int32),
+                    jnp.zeros((BT, 1), jnp.int32), jnp.zeros((BT, 1), jnp.int32),
+                )
+            elif cigar:
+                zero2 = lambda done, fin, dist: (
+                    done, fin, dist,
+                    jnp.zeros((BT, W), jnp.int32), jnp.zeros((BT, W), jnp.int32),
+                )
+            else:
+                zero2 = lambda done, fin, dist: (done, fin, dist)
+
+            if cfg.debug_always_compute:
+                out = compute2(done, fin, dist)
+            else:
+                out = jax.lax.cond(
+                    ex0 | ex1, compute2, zero2, done, fin, dist
+                )
+            if cigar and banded:
+                done, fin, dist, ch0, ch1, lo0, lo1 = out
+            elif cigar:
+                done, fin, dist, ch0, ch1 = out
+            else:
+                done, fin, dist = out
+
+            if cigar:
+                # d is always odd here (bodies start at d=1, advance by 2),
+                # so a chunk boundary (d & 7 == 7) can only fall on the FIRST
+                # score of the body; score d+1 (even) never completes a chunk.
+                chunk = chunk | (ch0 << (4 * (d & 7)))
+                fi = d >> 3
+                do_flush = (d & 7) == 7
+
+                if not cfg.debug_skip_dma:
+                    @pl.when(do_flush)
+                    def _():
+                        slot = fi & 1
+
+                        @pl.when(fi >= 2)
+                        def _():
+                            _flush_dma(slot, fi - 2).wait()
+
+                        stage_ref[pl.ds(slot, 1), :, :] = chunk[None]
+                        _flush_dma(slot, fi).start()
+
+                chunk = jnp.where(do_flush, 0, chunk)
+                chunk = chunk | (ch1 << (4 * ((d + 1) & 7)))
+
+            if cigar and banded and not cfg.debug_skip_lo:
+                # Same parity argument: the 128-score spill boundary only
+                # falls on the body's first score.
+                lane128 = jax.lax.broadcasted_iota(jnp.int32, (BT, LANE), 1)
+                lo_buf = jnp.where(lane128 == (d & (LANE - 1)), lo0, lo_buf)
+
+                @pl.when((d & (LANE - 1)) == LANE - 1)
+                def _():
+                    base = pl.multiple_of((d >> 7) * LANE, LANE)
+                    lo_ref[:, pl.ds(base, LANE)] = lo_buf
+
+                lo_buf = jnp.where(
+                    lane128 == ((d + 1) & (LANE - 1)), lo1, lo_buf
+                )
+
+            steps2 = steps1 + jnp.where(gap1, 1, 0)
+            mb2 = (mb1 << 1) | jnp.where(ex1, u1, u0)
+            ib2 = (ib1 << 1) | jnp.where(gap1, u1, u0)
+            all_done = jax.lax.cond(
+                (d & 3) == 3, lambda: jnp.min(done), lambda: all_done
+            )
+            if cigar and banded:
+                return (d + 2, steps2, mb2, ib2, done, fin, dist,
+                        all_done, chunk, lo_buf)
+            if cigar:
+                return (d + 2, steps2, mb2, ib2, done, fin, dist,
+                        all_done, chunk)
+            return d + 2, steps2, mb2, ib2, done, fin, dist, all_done
+
         def cond(carry):
             d, steps, all_done = carry[0], carry[1], carry[7]
             alive = (steps < cfg.max_steps - 1) & (all_done == 0)
@@ -825,10 +1190,11 @@ def _wfa_kernel(cfg: PallasConfig):
             carry0.append(jnp.zeros((BT, W), jnp.int32))
         if cigar and banded:
             carry0.append(jnp.zeros((BT, LANE), jnp.int32))
-        final = jax.lax.while_loop(cond, body, tuple(carry0))
+        loop_body = body2 if cfg.stacked_scores == 2 else body
+        final = jax.lax.while_loop(cond, loop_body, tuple(carry0))
         d_end, _, _, _, done, fin, dist = final[:7]
 
-        if cigar:
+        if cigar and not cfg.debug_skip_dma:
             # Flush the trailing partial chunk, then drain outstanding DMAs.
             chunk_last = final[8]
             fi_last = d_end >> 3
