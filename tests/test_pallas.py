@@ -206,3 +206,66 @@ def test_pallas_matches_xla(band, pen):
     fx = np.asarray(out_x["finished"])
     np.testing.assert_array_equal(fp, fx)
     np.testing.assert_array_equal(dp[fp], dx[fx])
+
+
+@pytest.mark.parametrize(
+    "band,tsb",
+    [(-1, 0), (10, 0), (-1, -1), (10, -1)],
+    ids=["exact", "banded", "exact-body2", "banded-body2"],
+)
+def test_fused_walk_interpret_matches_host_decode(band, tsb):
+    """Full CIGAR DMA path hermetically: align kernel (double-buffered
+    choice spill) + on-device traceback walk, in TPU interpret mode, must
+    reproduce the host packed-table decoder's CIGARs bit-for-bit.
+
+    Interpret mode simulates the async copies (jax>=0.9 InterpretParams),
+    so the exact code path a real chip takes — including the row-stage DMA
+    streaming in the walk kernel — runs on CPU here; the HW twin of this
+    test is tests/test_tpu_hw.py::test_device_traceback_matches_host_decode.
+    """
+    from wfa_tpu import native
+    from wfa_tpu.ops.traceback_pallas import (
+        TracebackConfig, align_cigar_fused,
+    )
+    from wfa_tpu.schedule import build_schedule
+
+    pen = Penalties(2, 3, 1)
+    pairs = make_pairs(23, sizes=(12, 60, 110), errs=(0.0, 0.08))
+    pairs = (pairs + pairs)[:16]
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    pat, plen, vp = pack_batch(pats, 128)
+    txt, tlen, vt = pack_batch(txts, 128)
+    sched = build_schedule(pen, 100, None)
+    cfg = PallasConfig(
+        penalties=pen, max_steps=100, wf_width=128, tile_batch=8,
+        band=band, compute_cigar=True, score_cap=sched.unfinished_score + 1,
+        two_score_body=tsb,
+    )
+    tb_cfg = TracebackConfig(
+        penalties=pen, wf_width=cfg.wf_width, score_cap=cfg.score_cap,
+        banded=band > 0, lo_pad=cfg.lo_pad if band > 0 else 0,
+    )
+    dev_args = (
+        jnp.asarray(pat), jnp.asarray(txt),
+        jnp.asarray(plen), jnp.asarray(tlen), jnp.asarray(vp & vt),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        arr = np.asarray(align_cigar_fused(cfg, tb_cfg, *dev_args))
+        out = align_batch_pallas(cfg, *dev_args)
+    dist = arr[:, 0]
+    fin = arr[:, 1] != 0
+    n_ops = arr[:, 2]
+    assert fin.all() and (n_ops >= 0).all()
+    dev_cigars, _ = native.cigar_from_ops_batch(
+        np.ascontiguousarray(arr[:, 4:]), n_ops, fin, pats, txts
+    )
+
+    words = np.asarray(out["choice_words"])
+    lo = np.asarray(out["lo_trace"]) if band > 0 else None
+    ref_cigars, _ = native.traceback_batch_packed(
+        words, lo, -(cfg.wf_width // 2), np.asarray(out["distance"]),
+        np.asarray(out["finished"]), pats, txts, pen,
+    )
+    assert dev_cigars == ref_cigars
+    assert (dist == np.asarray(out["distance"])).all()

@@ -1271,7 +1271,7 @@ def align_batch_pallas_impl(
     if cfg.compute_cigar:
         # The by-score choice table lives in HBM; the kernel streams rows into
         # it by DMA from a 2-slot VMEM staging buffer.
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_shape.append(
             jax.ShapeDtypeStruct((cfg.num_chunks, B, cfg.wf_width), jnp.int32)
         )

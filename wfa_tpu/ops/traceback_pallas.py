@@ -309,7 +309,7 @@ def traceback_batch_device_impl(
     tile_spec = lambda w: pl.BlockSpec(
         (TB, w), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     args = [choice_words]
     if cfg.banded:
         in_specs.append(tile_spec(cfg.lo_pad))
