@@ -269,3 +269,41 @@ def test_fused_walk_interpret_matches_host_decode(band, tsb):
     )
     assert dev_cigars == ref_cigars
     assert (dist == np.asarray(out["distance"])).all()
+
+
+@pytest.mark.parametrize(
+    "mode", ["ring", "partial"],
+)
+def test_ring_hbm_and_partial_extend_match_vmem(mode):
+    """The HBM-ring exact engine (wavefront ring streamed through VMEM by
+    async DMA — the wide-W mode whose ring does not fit VMEM) and the
+    partial-serve staged extension must both be bit-identical to the VMEM
+    one-score kernel, including high-divergence pairs (d up to ~160)."""
+    pen = Penalties(2, 3, 1)
+    pairs = make_pairs(31, sizes=(40, 150, 300), errs=(0.0, 0.08, 0.25))
+    pairs = (pairs + pairs)[:16]
+    nwp = 128
+    pat, plen, vp = pack_batch([p for p, _ in pairs], nwp)
+    txt, tlen, vt = pack_batch([t for _, t in pairs], nwp)
+    args = (
+        jnp.asarray(pat), jnp.asarray(txt),
+        jnp.asarray(plen), jnp.asarray(tlen), jnp.asarray(vp & vt),
+    )
+    base = dict(penalties=pen, max_steps=400, wf_width=768,
+                tile_batch=8, band=-1, two_score_body=0)
+    variant = dict(base)
+    if mode == "ring":
+        variant["ring_hbm"] = True
+    else:
+        variant["extend_partial"] = True
+    outs = []
+    for kw in (base, variant):
+        cfg = PallasConfig(**kw)
+        with pltpu.force_tpu_interpret_mode():
+            out = align_batch_pallas(cfg, *args)
+            outs.append(
+                (np.asarray(out["distance"]), np.asarray(out["finished"]))
+            )
+    (d0, f0), (d1, f1) = outs
+    np.testing.assert_array_equal(f0, f1)
+    np.testing.assert_array_equal(d0[f0], d1[f1])

@@ -50,6 +50,14 @@ PALLAS_MAX_WIDTH = 1024
 PALLAS_MAX_WIDTH_EXACT = 6144
 _WIDE_EXACT_RING_BUDGET = 6 << 20  # bytes for the 3*A M/I/D VMEM ring
 
+# Widest window for the HBM-ring exact engine (distance mode): the M/I/D
+# ring lives in HBM and rows stream through VMEM by async DMA
+# (PallasConfig.ring_hbm), so W is bounded by compile size / HBM, not the
+# VMEM ring budget — the full analog of the reference's
+# smem-center + global-spill contract that keeps any max_error on device
+# (sequence_alignment_kernel.cu:51-78).
+PALLAS_MAX_WIDTH_RING = int(os.environ.get("WFA_TPU_RING_MAX_W", "16384"))
+
 
 def _wide_exact_cap(active_working_set: int, tile: int) -> int:
     """Widest exact window whose wavefront ring fits the VMEM budget."""
@@ -168,9 +176,18 @@ def _run_tier_pallas(
     # the CPU fallback.
     full_window = opts.banded or w >= plan.wf_width
     wide_exact = False
+    ring_mode = False
     if not opts.banded:
         tile = min(tile, 8) if w > PALLAS_MAX_WIDTH else tile
-        w = min(w, _wide_exact_cap(pen.active_working_set, tile))
+        w_cap = _wide_exact_cap(pen.active_working_set, tile)
+        if w > w_cap and not cigar:
+            # Needed window exceeds the VMEM ring budget: stream the ring
+            # through HBM instead of truncating (distance mode only; wide
+            # exact CIGAR keeps the VMEM cap + certificate).
+            ring_mode = True
+            w = min(w, PALLAS_MAX_WIDTH_RING)
+        else:
+            w = min(w, w_cap)
         wide_exact = w > PALLAS_MAX_WIDTH
         full_window = w >= plan.wf_width
     cert_bound = pen.o + pen.e * (w // 2 + 1)
@@ -202,6 +219,16 @@ def _run_tier_pallas(
         # calls pipeline through the dispatch-all-then-fetch loop below.
         score_cap = cert_bound + 1 if not full_window else 0
         call_b = min(_round_up(len(idxs), tile), 16384)
+        if ring_mode:
+            # The HBM ring is 3*A x B x W int32 per call; bound the per-call
+            # batch by the memory budget, power-of-two-bucketed so the shape
+            # bucketing below can never round a chunk past the budget.
+            ring_bpl = 3 * pen.active_working_set * w * 4
+            budget_lanes = opts.memory_budget_bytes // max(ring_bpl, 1)
+            cb = tile * ndev
+            while cb * 2 <= min(budget_lanes, 16384):
+                cb *= 2
+            call_b = min(call_b, cb)
 
     # Extension stride: no wider than the sequences can extend, and bounded
     # by VMEM (the extension buffers scale with tile * span).
@@ -223,6 +250,7 @@ def _run_tier_pallas(
         compute_cigar=cigar,
         score_cap=score_cap,
         extend_span=span,
+        ring_hbm=ring_mode,
         # Wide exact windows sit just past Mosaic's 16 MiB default scoped
         # VMEM once the sequence table or the choice-chunk carry grows
         # (measured: 16.7 MiB for 10kbp CIGAR, 16.6 MiB for 20kbp distance).

@@ -113,6 +113,20 @@ class PallasConfig:
     # rows of score d, so the two extensions are independent.
     # -1 = auto (on when legal), 0 = off.
     two_score_body: int = -1
+    # HBM-resident wavefront ring (exact + distance-only): the M/I/D ring
+    # lives in an HBM buffer and each score streams its 4 parent rows into
+    # VMEM / its 3 new rows back out by async DMA.  This removes the VMEM
+    # cap on W (3*A rows of [BT, W] never coexist on-chip — only 7), the
+    # TPU-native analog of the reference's shared-memory-center + global
+    # -spill scheme (sequence_alignment_kernel.cu:51-78) that keeps ANY
+    # max_error on device.  Implies the partial-serve staged extension
+    # (kernel code size linear in W, so wide windows stay compilable).
+    ring_hbm: bool = False
+    # Force the partial-serve staged extension on the VMEM paths too (ring
+    # mode always uses it).  Candidate hot-path win: drops the staged
+    # window's vector->scalar ``ok`` sync + fallback cond per extension
+    # iteration; unserved lanes retry next iteration instead.
+    extend_partial: bool = False
 
     def __post_init__(self):
         assert self.wf_width % LANE == 0
@@ -121,6 +135,10 @@ class PallasConfig:
         )
         if self.compute_cigar:
             assert self.score_cap > 0, "CIGAR mode requires score_cap"
+        if self.ring_hbm:
+            assert not self.banded and not self.compute_cigar, (
+                "ring_hbm is the wide-exact distance engine"
+            )
 
     @property
     def banded(self) -> bool:
@@ -128,7 +146,7 @@ class PallasConfig:
 
     @property
     def stacked_scores(self) -> int:
-        if self.two_score_body == 0:
+        if self.two_score_body == 0 or self.ring_hbm:
             return 1
         p = self.penalties
         return 2 if min(p.x, p.o + p.e) >= 2 else 1
@@ -237,6 +255,60 @@ def _load_span(words_ref, pos: jnp.ndarray, nwords: int) -> list:
 _STAGE_CHUNKS = int(os.environ.get("WFA_STAGE_CHUNKS", "1"))
 
 
+def _load_span_pair2_partial(pat_ref, txt_ref, vpos, hpos, nwords, active):
+    """Partial-serve variant of _load_span_pair2_staged: instead of a scalar
+    all-lanes-fit flag (whose miss falls back to a full-table sweep — code
+    size (NWP/128)x(W/128), prohibitive at ring-mode widths), return a
+    PER-LANE ``served`` mask.  Unserved lanes simply retry on the next
+    extension iteration, when the window re-bases over the remaining active
+    lanes — the minimum-index lane is always in window, so every round makes
+    progress.  This also removes the staged path's vector->scalar ``ok``
+    sync from the extension's critical path."""
+    idx_v = jax.lax.shift_right_logical(vpos, 4)
+    idx_t = jax.lax.shift_right_logical(hpos, 4)
+    bigw = jnp.int32(1 << 24)
+    mv = jnp.where(active > 0, idx_v, bigw)
+    mt = jnp.where(active > 0, idx_t, bigw)
+    bv = jnp.min(mv, axis=1, keepdims=True)
+    # Anchor the text window to the lanes attaining the pattern-window base:
+    # independent per-sequence minima can deadlock (the min-idx_v lane out of
+    # the t-window and vice versa leaves NO lane in both windows, and the
+    # caller's while loop would spin).  With the dependent base, the lane
+    # attaining (min idx_v, then min idx_t among those) is served every
+    # round, so progress is guaranteed.
+    bt_ = jnp.min(jnp.where(mv == bv, mt, bigw), axis=1, keepdims=True)
+    base_v = jnp.where(bv == bigw, 0, bv)
+    base_t = jnp.where(bt_ == bigw, 0, bt_)
+    rel_v = idx_v - base_v
+    rel_t = idx_t - base_t
+    need = nwords + 1
+    cap = _STAGE_CHUNKS * LANE - need
+    srv = jnp.where(
+        (active > 0) & (rel_v >= 0) & (rel_v <= cap)
+        & (rel_t >= 0) & (rel_t <= cap), 1, 0
+    ).astype(jnp.int32)
+
+    bt = idx_v.shape[0]
+    lane_w = jax.lax.broadcasted_iota(
+        jnp.int32, (bt, _STAGE_CHUNKS * LANE), 1
+    )
+    stage_v = _gather_words(pat_ref, base_v + lane_w)
+    stage_t = _gather_words(txt_ref, base_t + lane_w)
+
+    def serve(stage, rels):
+        return [
+            _gather_chunks(
+                lambda tc: stage[:, tc * LANE : (tc + 1) * LANE],
+                _STAGE_CHUNKS, rels + i, 0, jnp.uint32,
+            )
+            for i in range(need)
+        ]
+
+    raw_v = serve(stage_v, jnp.where(srv > 0, rel_v, 0))
+    raw_t = serve(stage_t, jnp.where(srv > 0, rel_t, 0))
+    return raw_v, raw_t, srv
+
+
 def _load_span_pair2_staged(pat_ref, txt_ref, vpos, hpos, nwords, active):
     """Staged variant of _load_span for both sequences at once: the active
     lanes of one extension iteration read words from a narrow range (lanes
@@ -301,7 +373,8 @@ def _tail_mask(nxt: jnp.ndarray, limit: jnp.ndarray) -> jnp.ndarray:
 
 
 def _extend(offs, k, pat_ref, txt_ref, plen, tlen,
-            span: int = 8, first_span: int = 1, staged: bool = True):
+            span: int = 8, first_span: int = 1, staged: bool = True,
+            serve_partial: bool = False):
     """Vectorized LCP extension (WF_extend_kernel analog).
 
     Two-phase: the first probe compares only ``first_span`` words (most lanes
@@ -324,7 +397,14 @@ def _extend(offs, k, pat_ref, txt_ref, plen, tlen,
             v, h, acc, active = state
             vc = jnp.clip(v, 0, plen)
             hc = jnp.clip(h, 0, tlen)
-            if staged:
+            srv = None
+            if staged and serve_partial:
+                raw_p, raw_t, srv = _load_span_pair2_partial(
+                    pat_ref, txt_ref, vc, hc, nwords, active
+                )
+                wps = _dephase(raw_p, (vc & 15).astype(jnp.uint32), nwords)
+                wts = _dephase(raw_t, (hc & 15).astype(jnp.uint32), nwords)
+            elif staged:
                 raw_p, raw_t, ok_both = _load_span_pair2_staged(
                     pat_ref, txt_ref, vc, hc, nwords, active
                 )
@@ -355,13 +435,25 @@ def _extend(offs, k, pat_ref, txt_ref, plen, tlen,
                 e_i = off16 + (jax.lax.clz(diff) >> 1).astype(jnp.int32)
                 eq = jnp.where((found == 0) & nz, e_i, eq)
                 found = jnp.where(nz, 1, found)
-            eq = jnp.where(active > 0, eq, 0)
-            acc = acc + eq
-            v = v + eq
-            h = h + eq
-            active = jnp.where(
-                (eq == nb) & (v < plen) & (h < tlen), active, 0
-            )
+            if srv is None:
+                eq = jnp.where(active > 0, eq, 0)
+                acc = acc + eq
+                v = v + eq
+                h = h + eq
+                active = jnp.where(
+                    (eq == nb) & (v < plen) & (h < tlen), active, 0
+                )
+            else:
+                # Unserved lanes contribute nothing and stay active — they
+                # retry when the window re-bases next iteration.
+                eq = jnp.where((active > 0) & (srv > 0), eq, 0)
+                acc = acc + eq
+                v = v + eq
+                h = h + eq
+                keep = (eq == nb) & (v < plen) & (h < tlen)
+                active = jnp.where(
+                    (srv > 0) & ~keep, 0, active
+                )
             return v, h, acc, active
 
         return body
@@ -465,6 +557,9 @@ def _wfa_kernel(cfg: PallasConfig):
     banded = cfg.banded
     cigar = cfg.compute_cigar
 
+    ring = cfg.ring_hbm
+    sp = ring or cfg.extend_partial
+
     def kernel(*refs):
         if cigar and banded:
             (pat_ref, txt_ref, plen_ref, tlen_ref, valid_ref,
@@ -474,6 +569,11 @@ def _wfa_kernel(cfg: PallasConfig):
             (pat_ref, txt_ref, plen_ref, tlen_ref, valid_ref,
              dist_ref, fin_ref, choices_ref,
              state_ref, win_ref, stage_ref, sem) = refs
+        elif ring:
+            (pat_ref, txt_ref, plen_ref, tlen_ref, valid_ref,
+             dist_ref, fin_ref, ring_ref,
+             prow_ref, nrow_ref, rsem, wsem) = refs
+            state_ref = win_ref = None
         else:
             (pat_ref, txt_ref, plen_ref, tlen_ref, valid_ref,
              dist_ref, fin_ref, state_ref, win_ref) = refs
@@ -486,13 +586,28 @@ def _wfa_kernel(cfg: PallasConfig):
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
 
-        # Reset the whole ring to NULL (one row store per wavefront).
-        null_row = jnp.full((1, BT, W), NULL, jnp.int32)
-        for i in range(3 * A):
-            state_ref[pl.ds(i, 1), :, :] = null_row
-        zeros_w = jnp.zeros((1, BT, 1), jnp.int32)
-        for i in range(2 * A):
-            win_ref[pl.ds(i, 1), :, :] = zeros_w
+        def ring_cp_in(i, mat, slot):
+            """Parent-row fetch: HBM ring row (mat, slot) -> prow_ref[i]."""
+            return pltpu.make_async_copy(
+                ring_ref.at[mat * A + slot, pl.ds(gi * BT, BT), :],
+                prow_ref.at[i], rsem.at[i],
+            )
+
+        def ring_cp_out(j, mat, slot):
+            return pltpu.make_async_copy(
+                nrow_ref.at[j],
+                ring_ref.at[mat * A + slot, pl.ds(gi * BT, BT), :],
+                wsem.at[j],
+            )
+
+        if not ring:
+            # Reset the whole ring to NULL (one row store per wavefront).
+            null_row = jnp.full((1, BT, W), NULL, jnp.int32)
+            for i in range(3 * A):
+                state_ref[pl.ds(i, 1), :, :] = null_row
+            zeros_w = jnp.zeros((1, BT, 1), jnp.int32)
+            for i in range(2 * A):
+                win_ref[pl.ds(i, 1), :, :] = zeros_w
 
         # Score 0: initial extension on diagonal 0.  The exact engine centers
         # its fixed window at -W2; the banded window starts as the single
@@ -502,8 +617,17 @@ def _wfa_kernel(cfg: PallasConfig):
         offs0 = jnp.where(lane == j0, 0, NULL)
         m0 = _extend(offs0, k0_row, pat_ref, txt_ref, plen, tlen,
                      cfg.extend_span, cfg.extend_first_span,
-                     cfg.staged_extend)
-        state_ref[pl.ds(0, 1), :, :] = m0[None]
+                     cfg.staged_extend, serve_partial=sp)
+        if ring:
+            # The HBM ring needs no NULL reset: every read is masked by the
+            # scalar existence bits, which are only set after the producing
+            # score has written its rows.  Score 0's M row is the exception.
+            nrow_ref[pl.ds(0, 1), :, :] = m0[None]
+            cp0 = ring_cp_out(0, 0, jnp.int32(0))
+            cp0.start()
+            cp0.wait()
+        else:
+            state_ref[pl.ds(0, 1), :, :] = m0[None]
 
         init_off = jnp.max(
             jnp.where(lane == j0, m0, NULL), axis=1, keepdims=True
@@ -565,10 +689,24 @@ def _wfa_kernel(cfg: PallasConfig):
                 sx = jax.lax.rem(d - x + A * 8, A)
                 soe = jax.lax.rem(d - o - e + A * 8, A)
                 se = jax.lax.rem(d - e + A * 8, A)
-                Mx = read_row(0, sx)
-                Moe = read_row(0, soe)
-                Ie = read_row(1, se)
-                De = read_row(2, se)
+                if ring:
+                    cps = [
+                        ring_cp_in(0, 0, sx), ring_cp_in(1, 0, soe),
+                        ring_cp_in(2, 1, se), ring_cp_in(3, 2, se),
+                    ]
+                    for c in cps:
+                        c.start()
+                    for c in cps:
+                        c.wait()
+                    Mx = prow_ref[pl.ds(0, 1), :, :][0]
+                    Moe = prow_ref[pl.ds(1, 1), :, :][0]
+                    Ie = prow_ref[pl.ds(2, 1), :, :][0]
+                    De = prow_ref[pl.ds(3, 1), :, :][0]
+                else:
+                    Mx = read_row(0, sx)
+                    Moe = read_row(0, soe)
+                    Ie = read_row(1, se)
+                    De = read_row(2, se)
                 ok_x = m_x != 0
                 ok_oe = gap_oe != 0
                 ok_ie = gap_ie != 0
@@ -690,7 +828,7 @@ def _wfa_kernel(cfg: PallasConfig):
                     M_new = _extend(
                         M_pb >> 2, k_row, pat_ref, txt_ref, plen, tlen,
                         cfg.extend_span, cfg.extend_first_span,
-                        cfg.staged_extend,
+                        cfg.staged_extend, serve_partial=sp,
                     )
 
                 if banded:
@@ -717,20 +855,42 @@ def _wfa_kernel(cfg: PallasConfig):
                 dist = jnp.where(newly != 0, d, dist)
                 done = jnp.maximum(done, newly)
 
-                # Freeze finished lanes' slots (their last wavefront is kept).
-                live = (done == 0) | (newly != 0)
-                old_m = state_ref[pl.ds(oslot, 1), :, :][0]
-                old_i = state_ref[pl.ds(A + oslot, 1), :, :][0]
-                old_d = state_ref[pl.ds(2 * A + oslot, 1), :, :][0]
-                state_ref[pl.ds(oslot, 1), :, :] = jnp.where(
-                    live, M_new, old_m
-                )[None]
-                state_ref[pl.ds(A + oslot, 1), :, :] = jnp.where(
-                    live, I_new, old_i
-                )[None]
-                state_ref[pl.ds(2 * A + oslot, 1), :, :] = jnp.where(
-                    live, D_new, old_d
-                )[None]
+                if ring:
+                    # No freeze merge: a finished sublane's dist/fin are
+                    # already latched (newly==0 forever after), its rows are
+                    # never consulted for the result, and other sublanes
+                    # only read their own row slices — so unconditional
+                    # writes are safe and skip a read-modify-write of HBM.
+                    nrow_ref[pl.ds(0, 1), :, :] = M_new[None]
+                    nrow_ref[pl.ds(1, 1), :, :] = I_new[None]
+                    nrow_ref[pl.ds(2, 1), :, :] = D_new[None]
+                    wcps = [
+                        ring_cp_out(0, 0, oslot),
+                        ring_cp_out(1, 1, oslot),
+                        ring_cp_out(2, 2, oslot),
+                    ]
+                    for c in wcps:
+                        c.start()
+                    # Drain before returning: the next compute() reads the
+                    # ring immediately, and with x==e the slot written here
+                    # is a parent one score later (RAW through HBM).
+                    for c in wcps:
+                        c.wait()
+                else:
+                    # Freeze finished lanes' slots (last wavefront is kept).
+                    live = (done == 0) | (newly != 0)
+                    old_m = state_ref[pl.ds(oslot, 1), :, :][0]
+                    old_i = state_ref[pl.ds(A + oslot, 1), :, :][0]
+                    old_d = state_ref[pl.ds(2 * A + oslot, 1), :, :][0]
+                    state_ref[pl.ds(oslot, 1), :, :] = jnp.where(
+                        live, M_new, old_m
+                    )[None]
+                    state_ref[pl.ds(A + oslot, 1), :, :] = jnp.where(
+                        live, I_new, old_i
+                    )[None]
+                    state_ref[pl.ds(2 * A + oslot, 1), :, :] = jnp.where(
+                        live, D_new, old_d
+                    )[None]
                 if banded:
                     old_lo = win_ref[pl.ds(oslot, 1), :, :][0]
                     old_ext = win_ref[pl.ds(A + oslot, 1), :, :][0]
@@ -1071,7 +1231,7 @@ def _wfa_kernel(cfg: PallasConfig):
                     M2 = _extend(
                         offs2, k2, pat_ref, txt_ref, pl2, tl2,
                         cfg.extend_span, cfg.extend_first_span,
-                        cfg.staged_extend,
+                        cfg.staged_extend, serve_partial=sp,
                     )
                 done, fin, dist = settle(
                     d, ex0, r0[5], r0[7], M2[:BT], r0[3], r0[4], r0[6],
@@ -1264,10 +1424,25 @@ def align_batch_pallas_impl(
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
     ]
-    scratch = [
-        pltpu.VMEM((3 * A, BT, cfg.wf_width), jnp.int32),
-        pltpu.VMEM((2 * A, BT, 1), jnp.int32),
-    ]
+    if cfg.ring_hbm:
+        # M/I/D ring in HBM (an ANY-space output the kernel DMAs through);
+        # VMEM holds only 4 parent rows + 3 staging rows, so W is bounded by
+        # HBM, not VMEM.
+        scratch = [
+            pltpu.VMEM((4, BT, cfg.wf_width), jnp.int32),
+            pltpu.VMEM((3, BT, cfg.wf_width), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((3,)),
+        ]
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(
+            jax.ShapeDtypeStruct((3 * A, B, cfg.wf_width), jnp.int32)
+        )
+    else:
+        scratch = [
+            pltpu.VMEM((3 * A, BT, cfg.wf_width), jnp.int32),
+            pltpu.VMEM((2 * A, BT, 1), jnp.int32),
+        ]
     if cfg.compute_cigar:
         # The by-score choice table lives in HBM; the kernel streams rows into
         # it by DMA from a 2-slot VMEM staging buffer.
