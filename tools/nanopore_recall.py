@@ -41,6 +41,11 @@ from wfa_tpu.ops.packing import pack_batch
 from wfa_tpu.types import Penalties
 
 BURST = "--burst" in sys.argv
+# --small: hermetic variant (no TPU needed) — 12x3kbp burst reads on the
+# XLA engine (identical banded semantics, cross-engine-equivalence-tested)
+# with CPU-oracle exact scores; the source of BASELINE.md's round-3
+# burst-recall table.
+SMALL = "--small" in sys.argv
 
 
 def _mutate_bursts(rng, seqs, bg_err=0.01, n_bursts=3):
@@ -69,6 +74,61 @@ def _mutate_bursts(rng, seqs, bg_err=0.01, n_bursts=3):
         out.append(bytes(t))
     return out
 
+
+if SMALL:
+    jax.config.update("jax_platforms", "cpu")
+    from wfa_tpu.ops.engine_xla import EngineConfig, align_batch_device
+
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n = 12
+    pats = [rng.choice(bases, size=3000).tobytes() for _ in range(n)]
+    txts = []
+    for s in pats:
+        t = bytearray(bench._mutate_batch(rng, [s], 0.01)[0])
+        for _ in range(2):
+            kind = rng.integers(0, 3)
+            pos = int(rng.integers(100, len(t) - 400))
+            if kind == 0:
+                ln = int(rng.integers(100, 301))
+                del t[pos : pos + ln]
+            elif kind == 1:
+                ln = int(rng.integers(100, 301))
+                t[pos:pos] = rng.choice(bases, size=ln).tobytes()
+            else:
+                ln = int(rng.integers(50, 200))
+                t[pos : pos + ln] = bench._mutate_batch(
+                    rng, [bytes(t[pos : pos + ln])], 0.4
+                )[0]
+        txts.append(bytes(t))
+    pen = Penalties(2, 3, 1)
+    exact = np.array(
+        [native.cpu_align_single(p, t, pen) for p, t in zip(pats, txts)]
+    )
+    print(f"exact (CPU oracle): {exact.min()}..{exact.max()}")
+    lmax = max(max(len(p), len(t)) for p, t in zip(pats, txts))
+    pat, plen, vp = pack_batch(pats, lmax // 16 + 2)
+    txt, tlen, vt = pack_batch(txts, lmax // 16 + 2)
+    args = (
+        jnp.asarray(pat), jnp.asarray(txt),
+        jnp.asarray(plen), jnp.asarray(tlen), jnp.asarray(vp & vt),
+    )
+    for width in (129, 257, 513):
+        cfg = EngineConfig(
+            penalties=pen, max_steps=2500, wf_width=width, band=25,
+            compute_cigar=False,
+        )
+        out = align_batch_device(cfg, *args)
+        d = np.asarray(out["distance"])
+        f = np.asarray(out["finished"])
+        opt = (d == exact) & f
+        print(
+            f"band width {width:4d}: finished {f.sum()}/{n}, "
+            f"score==optimal {opt.sum()}/{n} "
+            f"({100.0*opt.sum()/n:.1f}%), max inflation "
+            f"{(d - exact)[f].max(initial=0)}"
+        )
+    sys.exit(0)
 
 rng = np.random.default_rng(7)
 bases = np.frombuffer(b"ACGT", dtype=np.uint8)
