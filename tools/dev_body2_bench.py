@@ -38,12 +38,19 @@ args = (jnp.asarray(pat), jnp.asarray(txt), jnp.asarray(plen),
         jnp.asarray(tlen), jnp.asarray(vp & vt))
 
 mode = sys.argv[1] if len(sys.argv) > 1 else "both"
-runs = {"one": [0], "two": [-1], "both": [0, -1]}[mode]
+# (two_score_body, extend_partial) variants:
+runs = {
+    "one": [(0, False)],
+    "two": [(-1, False)],
+    "both": [(0, False), (-1, False)],
+    "partial": [(0, False), (0, True)],
+    "all": [(0, False), (-1, False), (0, True), (-1, True)],
+}[mode]
 ref_dist = None
-for tsb in runs:
+for tsb, ep in runs:
     cfg = PallasConfig(
         penalties=Penalties(2, 3, 1), max_steps=3000, wf_width=512,
-        tile_batch=8, band=25, two_score_body=tsb,
+        tile_batch=8, band=25, two_score_body=tsb, extend_partial=ep,
     )
     out = align_batch_pallas(cfg, *args)
     dist = np.asarray(out["distance"])
@@ -60,5 +67,5 @@ for tsb in runs:
         np.asarray(out["distance"])
         dt = time.time() - t0
         best = max(best, n / dt)
-    print(f"two_score_body={tsb} stacked={cfg.stacked_scores}: "
-          f"{best:.0f} aln/s", flush=True)
+    print(f"two_score_body={tsb} stacked={cfg.stacked_scores} "
+          f"extend_partial={ep}: {best:.0f} aln/s", flush=True)
