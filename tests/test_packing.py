@@ -74,3 +74,35 @@ def test_packing_matches_reference_encoding():
     # (reference lib/kernels/sequence_packing_kernel.cu:79).
     words, _ = pack_ascii(np.frombuffer(b"ACTG", dtype=np.uint8))
     assert (words[0] >> 24) & 0xFF == 0b00011011
+
+
+def test_native_pack_batch_matches_numpy():
+    """The fused C++ pack+validity pass must be bit-identical to the NumPy
+    path on edge inputs: empty, sub-word, N content, lowercase, zero bytes,
+    word-boundary lengths, and sequences longer than the buffer / MAX."""
+    from wfa_tpu import native
+    import wfa_tpu.ops.packing as pk
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library not built")
+    tricky = [
+        b"", b"A", b"ACGTN" * 10, b"acgt" * 7, bytes(17), b"ACGT" * 5000,
+        b"A" * 33, b"C" * 16, b"G" * 15, b"T" * 40000,
+    ]
+    from wfa_tpu.types import MAX_SEQ_LEN
+
+    for ow in (1, 4, 640):
+        w_nat, l_nat, v_nat = native.pack_batch_native(
+            tricky, ow, MAX_SEQ_LEN
+        )
+        avail = native.available
+        native.available = lambda: False
+        try:
+            w_np, l_np, v_np = pk.pack_batch(tricky, ow)
+        finally:
+            native.available = avail
+        np.testing.assert_array_equal(w_nat, w_np, err_msg=f"ow={ow}")
+        np.testing.assert_array_equal(l_nat, l_np)
+        np.testing.assert_array_equal(v_nat, v_np)

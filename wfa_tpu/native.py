@@ -94,6 +94,11 @@ def get_lib() -> ct.CDLL:
         ct.c_int, ct.c_int, ct.c_int,
         ct.c_void_p, ct.c_int64, ct.c_void_p,
     ]
+    lib.wfa_pack_batch.restype = None
+    lib.wfa_pack_batch.argtypes = [
+        ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_int32, ct.c_int32,
+        ct.c_int32, ct.c_void_p, ct.c_void_p,
+    ]
     for name in ("wfa_read_seq_scan",):
         fn = getattr(lib, name)
         fn.restype = ct.c_int64
@@ -134,6 +139,32 @@ def cpu_align_single(pattern: bytes, text: bytes, pen: Penalties) -> int:
     return lib.wfa_cpu_align_single(
         pattern, len(pattern), text, len(text), pen.x, pen.o, pen.e
     )
+
+
+def pack_batch_native(
+    seqs: list[bytes], out_words: int, max_seq_len: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One-pass C++ packing + ACGT validity (sequence_packing_kernel.cu
+    analog); semantics identical to ops/packing.pack_batch's NumPy path.
+    Returns (packed[B, out_words] u32, lengths[B] i32, valid[B] bool)."""
+    lib = get_lib()
+    b = len(seqs)
+    lengths = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=b)
+    starts = np.zeros(b, dtype=np.int64)
+    if b > 1:
+        np.cumsum(lengths[:-1], out=starts[1:])
+    flat = np.frombuffer(
+        b"".join(seqs) if b else b"\0", dtype=np.uint8
+    )
+    lengths32 = lengths.astype(np.int32)
+    out = np.empty((b, out_words), dtype=np.uint32)
+    valid = np.empty(b, dtype=np.uint8)
+    lib.wfa_pack_batch(
+        _ptr(flat), _ptr(starts), _ptr(lengths32),
+        ct.c_int32(b), ct.c_int32(out_words), ct.c_int32(max_seq_len),
+        _ptr(out), _ptr(valid),
+    )
+    return out, lengths32, valid != 0
 
 
 def _flat_seqs(patterns, texts):

