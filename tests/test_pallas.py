@@ -307,3 +307,43 @@ def test_ring_hbm_and_partial_extend_match_vmem(mode):
     (d0, f0), (d1, f1) = outs
     np.testing.assert_array_equal(f0, f1)
     np.testing.assert_array_equal(d0[f0], d1[f1])
+
+
+def test_ring_hbm_cigar_matches_vmem():
+    """Ring + CIGAR: the HBM wavefront ring and the HBM choice-spill DMA
+    coexist; the fused align+walk output (dist, n_ops, op streams) must be
+    bit-identical to the VMEM-ring CIGAR kernel."""
+    from wfa_tpu.ops.traceback_pallas import TracebackConfig, align_cigar_fused
+    from wfa_tpu.schedule import build_schedule
+
+    pen = Penalties(2, 3, 1)
+    pairs = make_pairs(23, sizes=(12, 60, 110), errs=(0.0, 0.08))
+    pairs = (pairs + pairs)[:16]
+    pat, plen, vp = pack_batch([p for p, _ in pairs], 128)
+    txt, tlen, vt = pack_batch([t for _, t in pairs], 128)
+    args = (
+        jnp.asarray(pat), jnp.asarray(txt),
+        jnp.asarray(plen), jnp.asarray(tlen), jnp.asarray(vp & vt),
+    )
+    sched = build_schedule(pen, 100, None)
+    outs = []
+    for ring in (False, True):
+        cfg = PallasConfig(
+            penalties=pen, max_steps=100, wf_width=128, tile_batch=8,
+            band=-1, compute_cigar=True,
+            score_cap=sched.unfinished_score + 1, ring_hbm=ring,
+        )
+        tb = TracebackConfig(
+            penalties=pen, wf_width=128, score_cap=cfg.score_cap,
+            banded=False, lo_pad=0,
+        )
+        with pltpu.force_tpu_interpret_mode():
+            outs.append(np.asarray(align_cigar_fused(cfg, tb, *args)))
+    a0, a1 = outs
+    np.testing.assert_array_equal(a0[:, :3], a1[:, :3])
+    for b in range(len(pairs)):
+        nops = a0[b, 2]
+        nw = (2 * nops + 31) // 32 if nops > 0 else 0
+        np.testing.assert_array_equal(
+            a0[b, 4 : 4 + nw], a1[b, 4 : 4 + nw], err_msg=f"b={b}"
+        )

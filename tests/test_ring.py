@@ -59,3 +59,29 @@ def test_ring_mode_routes_and_matches_xla(monkeypatch):
         ),
     )
     assert [r.error for r in res] == [r.error for r in ref]
+
+
+def test_ring_mode_cigar_matches_xla(monkeypatch):
+    """CIGAR mode past the VMEM cap: ring kernel + choice DMA spill +
+    on-device walk, routed by the aligner; CIGARs and scores must match the
+    XLA reference engine."""
+    import wfa_tpu.aligner as al
+    import wfa_tpu.ops.engine_pallas as ep
+
+    monkeypatch.setattr(al, "_wide_exact_cap", lambda aws, tile: 512)
+
+    pairs = make_pairs(19, sizes=(200,), errs=(0.05, 0.22))
+    pairs = (pairs + pairs)[:8]
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    kw = dict(
+        penalties=Penalties(2, 3, 1), max_error=400, tile_batch=8,
+        data_parallel=False, compute_cigar=True,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        res = align_pairs(pats, txts, AlignmentOptions(backend="pallas", **kw))
+    assert all(r.finished_on_accelerator for r in res)
+
+    ref = align_pairs(pats, txts, AlignmentOptions(backend="xla", **kw))
+    assert [r.error for r in res] == [r.error for r in ref]
+    assert [r.cigar for r in res] == [r.cigar for r in ref]

@@ -180,10 +180,10 @@ def _run_tier_pallas(
     if not opts.banded:
         tile = min(tile, 8) if w > PALLAS_MAX_WIDTH else tile
         w_cap = _wide_exact_cap(pen.active_working_set, tile)
-        if w > w_cap and not cigar:
+        if w > w_cap:
             # Needed window exceeds the VMEM ring budget: stream the ring
-            # through HBM instead of truncating (distance mode only; wide
-            # exact CIGAR keeps the VMEM cap + certificate).
+            # through HBM instead of truncating (distance and CIGAR; the
+            # truncation certificate still applies past the ring cap).
             ring_mode = True
             w = min(w, PALLAS_MAX_WIDTH_RING)
         else:
@@ -207,6 +207,8 @@ def _run_tier_pallas(
         # power-of-two bucket (of tile*ndev) whose table fits the budget, so
         # the later shape bucketing can never round a chunk past the budget.
         bytes_per_lane = (score_cap // 8 + 2) * w * 4
+        if ring_mode:
+            bytes_per_lane += 3 * pen.active_working_set * w * 4
         budget_lanes = opts.memory_budget_bytes // max(bytes_per_lane, 1)
         call_b = tile * ndev
         while call_b * 2 <= min(budget_lanes, 4096):

@@ -136,9 +136,7 @@ class PallasConfig:
         if self.compute_cigar:
             assert self.score_cap > 0, "CIGAR mode requires score_cap"
         if self.ring_hbm:
-            assert not self.banded and not self.compute_cigar, (
-                "ring_hbm is the wide-exact distance engine"
-            )
+            assert not self.banded, "ring_hbm is the wide-EXACT engine"
 
     @property
     def banded(self) -> bool:
@@ -565,6 +563,11 @@ def _wfa_kernel(cfg: PallasConfig):
             (pat_ref, txt_ref, plen_ref, tlen_ref, valid_ref,
              dist_ref, fin_ref, choices_ref, lo_ref,
              state_ref, win_ref, stage_ref, sem) = refs
+        elif cigar and ring:
+            (pat_ref, txt_ref, plen_ref, tlen_ref, valid_ref,
+             dist_ref, fin_ref, choices_ref, ring_ref,
+             prow_ref, nrow_ref, rsem, wsem, stage_ref, sem) = refs
+            state_ref = win_ref = None
         elif cigar:
             (pat_ref, txt_ref, plen_ref, tlen_ref, valid_ref,
              dist_ref, fin_ref, choices_ref,
@@ -1424,6 +1427,16 @@ def align_batch_pallas_impl(
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
     ]
+    if cfg.compute_cigar:
+        # The by-score choice table lives in HBM; the kernel streams rows into
+        # it by DMA from a 2-slot VMEM staging buffer.
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(
+            jax.ShapeDtypeStruct((cfg.num_chunks, B, cfg.wf_width), jnp.int32)
+        )
+        if cfg.banded:
+            out_specs.append(tile_spec(cfg.lo_pad))
+            out_shape.append(jax.ShapeDtypeStruct((B, cfg.lo_pad), jnp.int32))
     if cfg.ring_hbm:
         # M/I/D ring in HBM (an ANY-space output the kernel DMAs through);
         # VMEM holds only 4 parent rows + 3 staging rows, so W is bounded by
@@ -1444,15 +1457,6 @@ def align_batch_pallas_impl(
             pltpu.VMEM((2 * A, BT, 1), jnp.int32),
         ]
     if cfg.compute_cigar:
-        # The by-score choice table lives in HBM; the kernel streams rows into
-        # it by DMA from a 2-slot VMEM staging buffer.
-        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        out_shape.append(
-            jax.ShapeDtypeStruct((cfg.num_chunks, B, cfg.wf_width), jnp.int32)
-        )
-        if cfg.banded:
-            out_specs.append(tile_spec(cfg.lo_pad))
-            out_shape.append(jax.ShapeDtypeStruct((B, cfg.lo_pad), jnp.int32))
         scratch += [
             pltpu.VMEM((2, BT, cfg.wf_width), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
