@@ -347,3 +347,42 @@ def test_ring_hbm_cigar_matches_vmem():
         np.testing.assert_array_equal(
             a0[b, 4 : 4 + nw], a1[b, 4 : 4 + nw], err_msg=f"b={b}"
         )
+
+
+@pytest.mark.parametrize(
+    "pen,tsb",
+    [(Penalties(40, 3, 1), 0), (Penalties(40, 3, 1), -1),
+     (Penalties(5, 30, 20), 0), (Penalties(63, 10, 1), 0)],
+    ids=["x40", "x40-body2", "o30e20", "x63"],
+)
+def test_wide_working_set_on_pallas(pen, tsb):
+    """Working sets of 33..64 scores (max(o+e,x)+1 > 32) run on the Pallas
+    path via the two-word existence bitmask (round 3 — formerly a silent
+    XLA-engine routing cliff); distances must match the XLA engine."""
+    pairs = make_pairs(11, sizes=(20, 90), errs=(0.0, 0.1))
+    pairs = (pairs + pairs)[:8]
+    pat, plen, vp = pack_batch([p for p, _ in pairs], 128)
+    txt, tlen, vt = pack_batch([t for _, t in pairs], 128)
+    args = (
+        jnp.asarray(pat), jnp.asarray(txt),
+        jnp.asarray(plen), jnp.asarray(tlen), jnp.asarray(vp & vt),
+    )
+    assert pen.active_working_set > 32
+    for band in (-1, 10):
+        pcfg = PallasConfig(
+            penalties=pen, max_steps=700, wf_width=128, tile_batch=8,
+            band=band, two_score_body=tsb,
+        )
+        with pltpu.force_tpu_interpret_mode():
+            out_p = align_batch_pallas(pcfg, *args)
+            dp = np.asarray(out_p["distance"])
+            fp = np.asarray(out_p["finished"])
+        xcfg = EngineConfig(
+            penalties=pen, max_steps=700, wf_width=128,
+            compute_cigar=False, band=band,
+        )
+        out_x = align_batch_device(xcfg, *args)
+        dx = np.asarray(out_x["distance"])
+        fx = np.asarray(out_x["finished"])
+        np.testing.assert_array_equal(fp, fx, err_msg=f"band={band}")
+        np.testing.assert_array_equal(dp[fp], dx[fx], err_msg=f"band={band}")

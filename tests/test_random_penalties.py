@@ -22,6 +22,7 @@ PENALTY_SET = [
     Penalties(6, 2, 5),
     Penalties(2, 10, 1),   # expensive open, cheap extend
     Penalties(9, 7, 4),
+    Penalties(45, 8, 3),   # 46-score working set (two-word bitmask word 2)
 ]
 
 

@@ -1,10 +1,11 @@
-"""Measure the active_working_set > 32 penalty cliff (VERDICT r2 weak #6).
+"""Measure the penalty working-set cliff (VERDICT r2 weak #6).
 
-Penalty sets with max(x, o+e) >= 32 exceed the Pallas kernel's rolling
-32-score existence bitmask and route to the XLA engine
-(aligner.py PALLAS_MAX_AWS).  This measures the user-visible slowdown on
-one representative workload: 512 x 1kbp pairs, 5% error, x=30 (Pallas)
-vs x=40 (XLA route), distance mode.
+Round 3 widened the Pallas kernel's rolling existence bitmask to TWO u32
+words, so working sets up to 64 scores stay on the Pallas path (x=40 used
+to route to the XLA engine).  This measures, on 512 x 1kbp pairs at 5%
+error: x=30 and x=40 on Pallas (the former cliff is gone — the x=40
+number IS the recovered speed), x=40 forced onto the XLA engine (what the
+old routing cost), and x=70 (aws=71 > 64, the remaining genuine cliff).
 """
 import os
 import sys
@@ -31,10 +32,10 @@ n = 512
 pats = [rng.choice(bases, size=1000).tobytes() for _ in range(n)]
 txts = bench._mutate_batch(rng, pats, 0.05)
 
-for x in (30, 40):
+for x, backend in ((30, "auto"), (40, "auto"), (40, "xla"), (70, "auto")):
     pen = Penalties(x, 6, 2)
     opts = AlignmentOptions(
-        penalties=pen, compute_cigar=False, max_error=4000
+        penalties=pen, compute_cigar=False, max_error=4000, backend=backend
     )
     t0 = time.time()
     res = align_pairs(pats, txts, opts)
@@ -43,7 +44,9 @@ for x in (30, 40):
     res = align_pairs(pats, txts, opts)
     dt = time.time() - t0
     aws = pen.active_working_set
-    eng = "pallas" if aws <= 32 else "xla"
+    eng = backend if backend != "auto" else (
+        "pallas" if aws <= 64 else "xla"
+    )
     print(
         f"x={x} aws={aws} engine={eng}: {n / dt:.0f} aln/s "
         f"(first call incl. compile {warm:.0f}s), "

@@ -479,9 +479,10 @@ def align_pairs(
         import jax
 
         use_pallas = jax.default_backend() == "tpu"
-    # The Pallas kernel's rolling existence bitmasks hold 32 scores; larger
-    # working sets (max(o+e, x) + 1 > 32) run on the XLA engine.
-    if pen.active_working_set > 32:
+    # The Pallas kernel's rolling existence bitmasks hold 64 scores (two u32
+    # words; round 3 — was 32); even larger working sets
+    # (max(o+e, x) + 1 > 64) run on the XLA engine.
+    if pen.active_working_set > 64:
         use_pallas = False
 
     # Divergence-ordered tiling for long reads (see utils/presort.py).

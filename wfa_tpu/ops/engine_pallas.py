@@ -130,8 +130,8 @@ class PallasConfig:
 
     def __post_init__(self):
         assert self.wf_width % LANE == 0
-        assert self.penalties.active_working_set <= 32, (
-            "existence bitmask holds 32 scores; max(o+e,x)+1 must be <= 32"
+        assert self.penalties.active_working_set <= 64, (
+            "existence bitmask holds 64 scores; max(o+e,x)+1 must be <= 64"
         )
         if self.compute_cigar:
             assert self.score_cap > 0, "CIGAR mode requires score_cap"
@@ -557,6 +557,24 @@ def _wfa_kernel(cfg: PallasConfig):
 
     ring = cfg.ring_hbm
     sp = ring or cfg.extend_partial
+    # Rolling existence bitmaps: NB u32 words cover the last 32*NB scores
+    # (bit j of the chain == exist[d-1-j]).  Penalties are static, so the
+    # word holding a given lag is selected at trace time — working sets up
+    # to 64 scores stay on the Pallas path (the reference has no such
+    # limit; one extra scalar word removes this build's former >32 cliff).
+    NB = (A + 31) // 32
+
+    def b_test(bits, k: int):
+        """Bit for lag k (static python int >= 1) of a bitmap tuple."""
+        if k <= 32:
+            return (bits[0] >> (k - 1)) & jnp.uint32(1)
+        return (bits[1] >> (k - 33)) & jnp.uint32(1)
+
+    def b_shift(bits, bit):
+        lo = (bits[0] << 1) | bit
+        if NB == 1:
+            return (lo,)
+        return (lo, (bits[1] << 1) | (bits[0] >> 31))
 
     def kernel(*refs):
         if cigar and banded:
@@ -671,18 +689,18 @@ def _wfa_kernel(cfg: PallasConfig):
             # (bit j == exist[d-1-j]).
             gap_oe = jax.lax.cond(
                 d - o - e >= 0,
-                lambda: (m_bits >> (o + e - 1)) & 1,
+                lambda: b_test(m_bits, o + e),
                 lambda: jnp.uint32(0),
             )
             gap_ie = jax.lax.cond(
                 d - e >= 0,
-                lambda: (i_bits >> (e - 1)) & 1,
+                lambda: b_test(i_bits, e),
                 lambda: jnp.uint32(0),
             )
             gap = (gap_oe | gap_ie) != 0
             m_x = jax.lax.cond(
                 d - x >= 0,
-                lambda: (m_bits >> (x - 1)) & 1,
+                lambda: b_test(m_bits, x),
                 lambda: jnp.uint32(0),
             )
             m_exist = gap | (m_x != 0)
@@ -981,8 +999,8 @@ def _wfa_kernel(cfg: PallasConfig):
                     lo_ref[:, pl.ds(base, LANE)] = lo_buf
 
             steps = steps + jnp.where(gap, 1, 0)
-            m_bits = (m_bits << 1) | jnp.where(m_exist, jnp.uint32(1), 0)
-            i_bits = (i_bits << 1) | jnp.where(gap, jnp.uint32(1), 0)
+            m_bits = b_shift(m_bits, jnp.where(m_exist, jnp.uint32(1), jnp.uint32(0)))
+            i_bits = b_shift(i_bits, jnp.where(gap, jnp.uint32(1), jnp.uint32(0)))
             # The all-done reduce (a vector->scalar sync) runs every 4th
             # score; the loop may overrun by up to 3 scores, which is
             # harmless (finished lanes are frozen, spill rows have slack).
@@ -1007,10 +1025,10 @@ def _wfa_kernel(cfg: PallasConfig):
         # `finished` matches the one-score body bit-for-bit.
 
         def exist_flags(d, mb, ib):
-            u0, u1 = jnp.uint32(0), jnp.uint32(1)
-            m_x = jnp.where(d >= x, (mb >> (x - 1)) & u1, u0)
-            g_oe = jnp.where(d >= o + e, (mb >> (o + e - 1)) & u1, u0)
-            g_ie = jnp.where(d >= e, (ib >> (e - 1)) & u1, u0)
+            u0 = jnp.uint32(0)
+            m_x = jnp.where(d >= x, b_test(mb, x), u0)
+            g_oe = jnp.where(d >= o + e, b_test(mb, o + e), u0)
+            g_ie = jnp.where(d >= e, b_test(ib, e), u0)
             return m_x, g_oe, g_ie
 
         def recurrence(d, m_x, gap_oe, gap_ie, in_reg):
@@ -1208,8 +1226,8 @@ def _wfa_kernel(cfg: PallasConfig):
             gap0 = (goe0 | gie0) != 0
             ex0 = gap0 | (m_x0 != 0)
             steps1 = steps + jnp.where(gap0, 1, 0)
-            mb1 = (m_bits << 1) | jnp.where(ex0, u1, u0)
-            ib1 = (i_bits << 1) | jnp.where(gap0, u1, u0)
+            mb1 = b_shift(m_bits, jnp.where(ex0, u1, u0))
+            ib1 = b_shift(i_bits, jnp.where(gap0, u1, u0))
             ok1 = steps1 < cfg.max_steps - 1
             if cfg.score_cap > 0:
                 ok1 = ok1 & (d + 1 < cfg.score_cap)
@@ -1327,8 +1345,8 @@ def _wfa_kernel(cfg: PallasConfig):
                 )
 
             steps2 = steps1 + jnp.where(gap1, 1, 0)
-            mb2 = (mb1 << 1) | jnp.where(ex1, u1, u0)
-            ib2 = (ib1 << 1) | jnp.where(gap1, u1, u0)
+            mb2 = b_shift(mb1, jnp.where(ex1, u1, u0))
+            ib2 = b_shift(ib1, jnp.where(gap1, u1, u0))
             all_done = jax.lax.cond(
                 (d & 3) == 3, lambda: jnp.min(done), lambda: all_done
             )
@@ -1347,7 +1365,9 @@ def _wfa_kernel(cfg: PallasConfig):
                 alive = alive & (d < cfg.score_cap)
             return alive
 
-        carry0 = [jnp.int32(1), jnp.int32(1), jnp.uint32(1), jnp.uint32(0),
+        u0 = jnp.uint32(0)
+        carry0 = [jnp.int32(1), jnp.int32(1),
+                  (jnp.uint32(1),) + (u0,) * (NB - 1), (u0,) * NB,
                   done0, fin0, dist0, jnp.min(done0)]
         if cigar:
             carry0.append(jnp.zeros((BT, W), jnp.int32))
