@@ -123,3 +123,19 @@ def test_readers_match_python():
     )
     assert pq == reff.patterns and tq == reff.texts
     assert len(pq) == 50
+
+
+def test_stale_so_degrades_not_crashes(monkeypatch):
+    """A prebuilt .so lacking a newly-added symbol must degrade to the
+    Python fallbacks (NativeUnavailable from get_lib, available() False),
+    not crash callers with AttributeError."""
+
+    def _stale():
+        raise AttributeError("undefined symbol: wfa_pack_batch")
+
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_load_and_bind", _stale)
+    monkeypatch.setattr(native, "_try_build", lambda: None)
+    assert native.available() is False
+    with pytest.raises(native.NativeUnavailable):
+        native.get_lib()

@@ -56,7 +56,9 @@ _WIDE_EXACT_RING_BUDGET = 6 << 20  # bytes for the 3*A M/I/D VMEM ring
 # VMEM ring budget — the full analog of the reference's
 # smem-center + global-spill contract that keeps any max_error on device
 # (sequence_alignment_kernel.cu:51-78).
-PALLAS_MAX_WIDTH_RING = int(os.environ.get("WFA_TPU_RING_MAX_W", "16384"))
+PALLAS_MAX_WIDTH_RING = max(
+    128, int(os.environ.get("WFA_TPU_RING_MAX_W", "16384")) // 128 * 128
+)
 
 
 def _wide_exact_cap(active_working_set: int, tile: int) -> int:
@@ -186,6 +188,12 @@ def _run_tier_pallas(
             # truncation certificate still applies past the ring cap).
             ring_mode = True
             w = min(w, PALLAS_MAX_WIDTH_RING)
+            # VMEM working set is ~12 rows of [tile, W] (7 streamed ring
+            # rows + extension temporaries); shrink the tile with W.
+            if w > 32768:
+                tile = min(tile, 2)
+            elif w > 16384:
+                tile = min(tile, 4)
         else:
             w = min(w, w_cap)
         wide_exact = w > PALLAS_MAX_WIDTH
@@ -305,7 +313,10 @@ def _run_tier_pallas(
     # budget-sized HBM choice table, so pending depth is capped at 2
     # there — unbounded accumulation would multiply device memory use by
     # the chunk count and defeat the budget sizing.
-    max_pending = 2 if (cigar and host_tb) else len(idxs) + 1
+    # Ring mode adds a budget-sized HBM ring OUTPUT per dispatched chunk
+    # (allocated at dispatch, freed when the handle drops), so its pending
+    # depth is capped like the host-traceback path.
+    max_pending = 2 if (cigar and host_tb) or ring_mode else len(idxs) + 1
 
     def _consume(item):
         chunk, bsz, pats, txts, handle = item
@@ -385,6 +396,10 @@ def _run_tier_pallas(
 
     pending = []
     for start in range(0, len(idxs), call_b):
+        # Drain BEFORE dispatching so at most `max_pending` budget-sized
+        # device buffers are ever live (the new dispatch included).
+        while len(pending) >= max_pending:
+            _consume(pending.pop(0))
         chunk = idxs[start : start + call_b]
         bsz = _bucket(len(chunk))
         pats = [patterns[i] for i in chunk] + [b""] * (bsz - len(chunk))
@@ -425,8 +440,6 @@ def _run_tier_pallas(
             else:
                 handle = out
         pending.append((chunk, bsz, pats, txts, handle))
-        while len(pending) > max_pending:
-            _consume(pending.pop(0))
 
     for item in pending:
         _consume(item)
@@ -486,11 +499,14 @@ def align_pairs(
         use_pallas = False
 
     # Divergence-ordered tiling for long reads (see utils/presort.py).
-    # Only worth the host scan when the Pallas tiles will actually run —
-    # the XLA/CPU paths don't have tile finish-time variance to reclaim.
+    # Both device engines run fixed tiles until the slowest lane finishes
+    # (Pallas: dense tiles + done masks; XLA: tile_batch chunks in
+    # align_batch_device), so cost-ordered tiles reclaim finish-time
+    # variance on either; the native CPU fallback schedules per-pair
+    # dynamically and never sees the hints.
     hints = None
     dev_lens = lens[device_idx]
-    if use_pallas and dev_lens.size and int(dev_lens.max()) >= MIN_PRESORT_TIER:
+    if dev_lens.size and int(dev_lens.max()) >= MIN_PRESORT_TIER:
         from .utils.presort import divergence_scores
 
         hints = divergence_scores(

@@ -58,6 +58,22 @@ def get_lib() -> ct.CDLL:
         _try_build()
     if not _SO_PATH.exists():
         raise NativeUnavailable(f"{_SO_PATH} not built (run make -C native)")
+    try:
+        lib = _load_and_bind()
+    except AttributeError:
+        # Stale prebuilt .so from before a symbol was added: rebuild once
+        # (make sees the newer sources) and retry; degrade to the Python
+        # fallbacks — not an AttributeError crash — if it still lacks it.
+        _try_build()
+        try:
+            lib = _load_and_bind()
+        except AttributeError as e:
+            raise NativeUnavailable(f"stale {_SO_PATH}: {e}") from e
+    _lib = lib
+    return lib
+
+
+def _load_and_bind() -> ct.CDLL:
     lib = ct.CDLL(str(_SO_PATH))
 
     lib.wfa_cpu_align_single.restype = ct.c_int
@@ -117,7 +133,6 @@ def get_lib() -> ct.CDLL:
         ct.c_char_p, ct.c_char_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
         ct.c_void_p, ct.c_void_p, ct.c_int64,
     ]
-    _lib = lib
     return lib
 
 

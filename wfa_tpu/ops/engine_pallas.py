@@ -686,23 +686,10 @@ def _wfa_kernel(cfg: PallasConfig):
             else:
                 d, steps, m_bits, i_bits, done, fin, dist, all_done = carry
             # Existence of the parent scores from the rolling bitmaps
-            # (bit j == exist[d-1-j]).
-            gap_oe = jax.lax.cond(
-                d - o - e >= 0,
-                lambda: b_test(m_bits, o + e),
-                lambda: jnp.uint32(0),
-            )
-            gap_ie = jax.lax.cond(
-                d - e >= 0,
-                lambda: b_test(i_bits, e),
-                lambda: jnp.uint32(0),
-            )
+            # (bit j == exist[d-1-j]); shared with body2 so the encoding
+            # can't drift between the loop bodies.
+            m_x, gap_oe, gap_ie = exist_flags(d, m_bits, i_bits)
             gap = (gap_oe | gap_ie) != 0
-            m_x = jax.lax.cond(
-                d - x >= 0,
-                lambda: b_test(m_bits, x),
-                lambda: jnp.uint32(0),
-            )
             m_exist = gap | (m_x != 0)
 
             def compute(done, fin, dist):
@@ -924,18 +911,8 @@ def _wfa_kernel(cfg: PallasConfig):
                 if not cigar:
                     return done, fin, dist
                 # 4-bit backtrace choice per lane (encoding shared with the
-                # XLA engine): bits 0-1 = M source, bit 2/3 = I/D gap-extend.
-                m_op = M_pb & 3
-                m_choice = jnp.where(
-                    m_op == int(AffineOp.SUB),
-                    M_FROM_X,
-                    jnp.where(m_op == int(AffineOp.INS), M_FROM_I, M_FROM_D),
-                )
-                ch = (
-                    m_choice
-                    | (((I_pb & 3) == 2).astype(jnp.int32) << I_FROM_EXTEND_BIT)
-                    | (((D_pb & 3) == 2).astype(jnp.int32) << D_FROM_EXTEND_BIT)
-                )
+                # XLA engine and with body2 via _mk_choice).
+                ch = _mk_choice(M_pb, I_pb, D_pb)
                 if banded:
                     return done, fin, dist, ch, lo_n
                 return done, fin, dist, ch

@@ -27,6 +27,10 @@ from ..types import MAX_SEQ_LEN
 
 BASES_PER_WORD = 16
 
+# Sticky gate for the native packing fast path: flipped off (with one
+# logged warning) on the first failure instead of raising/catching per call.
+_native_pack_ok = True
+
 # Reverse of the 2-bit encoding, for round-trip tests (cf. UNPACK table in
 # tests/test_packing_kernel.cu:31).
 UNPACK = np.frombuffer(b"ACTG", dtype=np.uint8)
@@ -84,18 +88,27 @@ def pack_batch(
     seqs_b = [
         s if isinstance(s, (bytes, bytearray)) else bytes(s) for s in seqs
     ]
-    try:
-        from .. import native
+    global _native_pack_ok
+    if _native_pack_ok:
+        try:
+            from .. import native
 
-        if native.available():
-            # One fused C++ pass (pack + validity); ~10x the NumPy path on
-            # long-read batches, which matters because packing sits on the
-            # host critical path of every device chunk.
-            return native.pack_batch_native(
-                [bytes(s) for s in seqs_b], out_words, MAX_SEQ_LEN
+            if native.available():
+                # One fused C++ pass (pack + validity); ~10x the NumPy path
+                # on long-read batches, which matters because packing sits
+                # on the host critical path of every device chunk.
+                return native.pack_batch_native(
+                    [bytes(s) for s in seqs_b], out_words, MAX_SEQ_LEN
+                )
+        except Exception:  # pragma: no cover - fall back to the NumPy path
+            # Sticky disable + one warning: packing runs per chunk, and a
+            # silent per-call raise/catch would hide losing the fast path.
+            _native_pack_ok = False
+            import logging
+
+            logging.getLogger("wfa_tpu").warning(
+                "native packing failed; using the NumPy path", exc_info=True
             )
-    except Exception:  # pragma: no cover - fall back to the NumPy path
-        pass
     flat = np.frombuffer(b"".join(seqs_b), dtype=np.uint8)
     lengths = np.fromiter(
         (len(s) for s in seqs_b), dtype=np.int64, count=b
