@@ -111,8 +111,9 @@ class PallasConfig:
     # twice the sublanes.  Legal when min(x, o+e) >= 2: score d+1's
     # recurrence then reads only M rows <= d-1 plus the PRE-extension I/D
     # rows of score d, so the two extensions are independent.
-    # -1 = auto (on when legal), 0 = off.
-    two_score_body: int = -1
+    # -1 = auto (on when legal), 0 = off.  WFA_TPU_TWO_SCORE overrides the
+    # default process-wide (kill-switch for HW A/B without code edits).
+    two_score_body: int = int(os.environ.get("WFA_TPU_TWO_SCORE", "-1"))
     # HBM-resident wavefront ring (exact + distance-only): the M/I/D ring
     # lives in an HBM buffer and each score streams its 4 parent rows into
     # VMEM / its 3 new rows back out by async DMA.  This removes the VMEM
