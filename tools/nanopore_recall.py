@@ -46,6 +46,8 @@ BURST = "--burst" in sys.argv
 # with CPU-oracle exact scores; the source of BASELINE.md's round-3
 # burst-recall table.
 SMALL = "--small" in sys.argv
+# --small20: hermetic 20 kbp burst table (XLA engine on CPU); see below.
+SMALL20 = "--small20" in sys.argv
 
 
 def _mutate_bursts(rng, seqs, bg_err=0.01, n_bursts=3):
@@ -127,6 +129,53 @@ if SMALL:
             f"score==optimal {opt.sum()}/{n} "
             f"({100.0*opt.sum()/n:.1f}%), max inflation "
             f"{(d - exact)[f].max(initial=0)}"
+        )
+    sys.exit(0)
+
+if SMALL20:
+    # Hermetic 20 kbp burst table (XLA engine on CPU — identical banded
+    # semantics to the Pallas kernel, cross-engine-equivalence-tested):
+    # the full-scale analog of the 3 kbp --small table, so the recall
+    # curve exists at the reference chart's read length even without HW.
+    jax.config.update("jax_platforms", "cpu")
+    from wfa_tpu.ops.engine_xla import EngineConfig, align_batch_device
+
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n = 8
+    pats = [rng.choice(bases, size=20000).tobytes() for _ in range(n)]
+    txts = _mutate_bursts(rng, pats)
+    pen = Penalties(2, 3, 1)
+    t0 = time.time()
+    exact = np.array(
+        [native.cpu_align_single(p, t, pen) for p, t in zip(pats, txts)]
+    )
+    print(f"exact (CPU oracle): {exact.min()}..{exact.max()} "
+          f"({time.time()-t0:.1f}s)")
+    lmax = max(max(len(p), len(t)) for p, t in zip(pats, txts))
+    nw = lmax // 16 + 2
+    pat, plen, vp = pack_batch(pats, nw)
+    txt, tlen, vt = pack_batch(txts, nw)
+    args = (
+        jnp.asarray(pat), jnp.asarray(txt),
+        jnp.asarray(plen), jnp.asarray(tlen), jnp.asarray(vp & vt),
+    )
+    cap = int(exact.max()) + 1200
+    for width in (129, 257, 513, 1025):
+        t0 = time.time()
+        cfg = EngineConfig(
+            penalties=pen, max_steps=cap, wf_width=width, band=25,
+            compute_cigar=False,
+        )
+        out = align_batch_device(cfg, *args)
+        d = np.asarray(out["distance"])
+        f = np.asarray(out["finished"])
+        opt = (d == exact) & f
+        print(
+            f"band width {width:4d}: finished {f.sum()}/{n}, "
+            f"score==optimal {opt.sum()}/{n} "
+            f"({100.0*opt.sum()/n:.1f}%), max inflation "
+            f"{(d - exact)[f].max(initial=0)}  [{time.time()-t0:.0f}s]"
         )
     sys.exit(0)
 
