@@ -143,17 +143,16 @@ def _plan_tiers(
     return plans
 
 
-def _run_tier_pallas(
-    patterns, texts, idxs, plan, opts, max_error, band, results, need_cpu
-):
-    """Run one length tier through the Pallas TPU kernels (distance or CIGAR
-    mode; CIGAR decodes the kernel's nibble-packed choice table on the host,
-    native OpenMP decoder when available)."""
-    import jax.numpy as jnp
+def _tier_geometry(plan, opts, max_error: int, band: int, ndev: int,
+                   n_pairs: int):
+    """Pure launch-geometry planning for one Pallas tier: window width and
+    truncation/ring decisions, tile height, score cap, per-call batch under
+    the memory budget, extension stride.  Host-only arithmetic (no device
+    work) so the planner rules are unit-testable in isolation
+    (tests/test_geometry.py).
 
-    from .ops.engine_pallas import LANE, PallasConfig, align_batch_pallas
-
-    import jax
+    Returns (PallasConfig, nwp, call_b, full_window, cert_bound)."""
+    from .ops.engine_pallas import LANE, PallasConfig
 
     pen = opts.penalties
     # Tile height: wide tiles amortize per-step cost but run until their
@@ -161,9 +160,6 @@ def _run_tier_pallas(
     # 96k -> 133k aln/s; 1kbp: 10.8k -> 12.6k), long high-error ones 8
     # (HiFi banded: 473 at 8 vs 317 at 16 — finish-time variance dominates).
     tile = opts.tile_batch or (32 if max_error <= 512 else 8)
-    # Local (per-process) device count: the batch reaching this function is
-    # already host-sharded in multi-host runs, so sharding spans local chips.
-    ndev = jax.local_device_count() if opts.data_parallel else 1
     nwp = _round_up(plan.tier // 16 + 8, LANE)
     w = _round_up(plan.wf_width, LANE)
     cigar = opts.compute_cigar
@@ -228,7 +224,7 @@ def _run_tier_pallas(
         # and tens of seconds of executable load per process, while capped
         # calls pipeline through the dispatch-all-then-fetch loop below.
         score_cap = cert_bound + 1 if not full_window else 0
-        call_b = min(_round_up(len(idxs), tile), 16384)
+        call_b = min(_round_up(n_pairs, tile), 16384)
         if ring_mode:
             # The HBM ring is 3*A x B x W int32 per call; bound the per-call
             # batch by the memory budget, power-of-two-bucketed so the shape
@@ -265,6 +261,31 @@ def _run_tier_pallas(
         # VMEM once the sequence table or the choice-chunk carry grows
         # (measured: 16.7 MiB for 10kbp CIGAR, 16.6 MiB for 20kbp distance).
         vmem_limit_bytes=(24 << 20) if wide_exact else 0,
+    )
+    return cfg, nwp, call_b, full_window, cert_bound
+
+
+def _run_tier_pallas(
+    patterns, texts, idxs, plan, opts, max_error, band, results, need_cpu
+):
+    """Run one length tier through the Pallas TPU kernels (distance or CIGAR
+    mode; CIGAR decodes the kernel's nibble-packed choice table on the host,
+    native OpenMP decoder when available)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.engine_pallas import align_batch_pallas
+
+    pen = opts.penalties
+    cigar = opts.compute_cigar
+    # Local (per-process) device count: the batch reaching this function is
+    # already host-sharded in multi-host runs, so sharding spans local chips.
+    ndev = jax.local_device_count() if opts.data_parallel else 1
+    cfg, nwp, call_b, full_window, cert_bound = _tier_geometry(
+        plan, opts, max_error, band, ndev, len(idxs)
+    )
+    w, tile, score_cap, ring_mode = (
+        cfg.wf_width, cfg.tile_batch, cfg.score_cap, cfg.ring_hbm
     )
     LOG.debug(
         "pallas tier=%d pairs=%d W=%d nwp=%d band=%d cigar=%s score_cap=%d "
