@@ -106,3 +106,41 @@ def test_banded_geometry_unchanged_by_width_caps():
 def test_distance_call_batch_capped():
     _, _, call_b, _, _ = geom(128, 512, max_error=255, n_pairs=100_000)
     assert call_b <= 16384
+
+
+def test_geometry_invariants_fuzz():
+    """Random tiers/options: the planner must always produce a constructible
+    PallasConfig with lane-aligned width, budget-respecting call batches,
+    and consistent ring/certificate decisions."""
+    import random
+
+    rng = random.Random(42)
+    for _ in range(200):
+        tier = rng.choice([128, 1024, 4096, 16384, 32768])
+        me = rng.randint(16, tier)
+        wf = 2 * me + 1
+        banded = rng.random() < 0.4
+        cigar = rng.random() < 0.5
+        budget = rng.choice([64 << 20, 256 << 20, 1 << 30])
+        if banded:
+            wf = min(wf, rng.choice([128, 512, 1024]))
+        cfg, nwp, call_b, full, cert = geom(
+            tier, wf, banded=banded, cigar=cigar, max_error=me,
+            n_pairs=rng.choice([8, 100, 5000]), budget=budget,
+        )
+        assert cfg.wf_width % 128 == 0
+        assert nwp % 128 == 0
+        assert call_b % cfg.tile_batch == 0
+        assert cert == PEN.o + PEN.e * (cfg.wf_width // 2 + 1)
+        if cfg.ring_hbm:
+            assert not cfg.banded
+            ring_b = 3 * PEN.active_working_set * cfg.wf_width * 4
+            lane_b = ring_b + (
+                (cfg.score_cap // 8 + 2) * cfg.wf_width * 4 if cigar else 0
+            )
+            assert (call_b * lane_b <= budget
+                    or call_b == cfg.tile_batch), (call_b, lane_b, budget)
+        if cigar:
+            assert cfg.score_cap > 0
+        if full and not banded:
+            assert cfg.wf_width >= wf
