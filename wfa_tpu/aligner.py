@@ -257,10 +257,21 @@ def _tier_geometry(plan, opts, max_error: int, band: int, ndev: int,
         score_cap=score_cap,
         extend_span=span,
         ring_hbm=ring_mode,
+        # The two-score stacked body doubles the extension's [BT, W]
+        # temporaries; at wide-exact widths (W up to 6144) that overflows
+        # the Mosaic scoped-VMEM stack (measured 28.75 MiB vs the 24 MiB
+        # limit on the 100x10kbp golden set).  Its measured win is on the
+        # narrow banded path (+4.2% at W=512); keep wide exact one-score.
+        # (WFA_TPU_TWO_SCORE still overrides the non-wide default.)
+        two_score_body=0 if wide_exact
+        else int(os.environ.get("WFA_TPU_TWO_SCORE", "-1")),
         # Wide exact windows sit just past Mosaic's 16 MiB default scoped
         # VMEM once the sequence table or the choice-chunk carry grows
         # (measured: 16.7 MiB for 10kbp CIGAR, 16.6 MiB for 20kbp distance).
-        vmem_limit_bytes=(24 << 20) if wide_exact else 0,
+        # Ring mode at W=16384 measures 25.52 MiB of scoped stack on HW
+        # (7 streamed ring rows + extension temporaries); give it headroom.
+        vmem_limit_bytes=(32 << 20) if ring_mode
+        else (24 << 20) if wide_exact else 0,
     )
     return cfg, nwp, call_b, full_window, cert_bound
 
