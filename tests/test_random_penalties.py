@@ -64,3 +64,34 @@ def test_engine_matches_oracle_random_penalties(pen):
         assert r.error == oracle, (pen, p, t, r.error, oracle)
         assert check_cigar(r.cigar, p, t), (pen, p, t, r.cigar)
         assert affine_score(r.cigar, pen) == r.error
+
+
+def test_aws_over_64_routes_to_cpu_on_accelerator(monkeypatch):
+    """On a real accelerator, working sets > 64 scores skip the XLA engine
+    (it has crashed the axon TPU worker) and go to the CPU engine; the env
+    kill-switch restores the XLA route (aligner.py aws>64 branch)."""
+    import jax
+
+    import wfa_tpu.aligner as aligner_mod
+
+    pen = Penalties(70, 2, 1)  # aws = 71
+    pairs = _pairs(7)
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    opts = AlignmentOptions(penalties=pen, max_error=400, backend="auto")
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("WFA_TPU_FORCE_XLA_TPU", raising=False)
+    res = align_pairs(pats, txts, opts)
+    assert all(not r.finished_on_accelerator for r in res)
+    for (p, t), r in zip(pairs, res):
+        oracle, _ = align_one_py(p, t, pen, False)
+        assert r.error == oracle
+
+    # Kill-switch: the XLA engine route is restored (runs fine on the CPU
+    # devices backing this hermetic suite).
+    monkeypatch.setenv("WFA_TPU_FORCE_XLA_TPU", "1")
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    res2 = align_pairs(pats, txts, opts)
+    for r, r2 in zip(res, res2):
+        assert r.error == r2.error

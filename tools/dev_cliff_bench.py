@@ -4,8 +4,8 @@ Round 3 widened the Pallas kernel's rolling existence bitmask to TWO u32
 words, so working sets up to 64 scores stay on the Pallas path (x=40 used
 to route to the XLA engine).  This measures, on 512 x 1kbp pairs at 5%
 error: x=30 and x=40 on Pallas (the former cliff is gone — the x=40
-number IS the recovered speed), x=40 forced onto the XLA engine (what the
-old routing cost), and x=70 (aws=71 > 64, the remaining genuine cliff).
+number IS the recovered speed), and x=70 (aws=71 > 64, the remaining
+genuine cliff, routed to the CPU engine on accelerators).
 """
 import os
 import sys
@@ -32,7 +32,13 @@ n = 512
 pats = [rng.choice(bases, size=1000).tobytes() for _ in range(n)]
 txts = bench._mutate_batch(rng, pats, 0.05)
 
-for x, backend in ((30, "auto"), (40, "auto"), (40, "xla"), (70, "auto")):
+# NOTE: the (40, "xla") forced leg was removed — the XLA engine's
+# gather-heavy program CRASHED the axon TPU worker (measured 2026-08-19);
+# aws>64 on an accelerator now routes to the CPU engine (aligner.py), so
+# the x=70 row below measures the real product path.  Set
+# WFA_TPU_FORCE_XLA_TPU=1 to re-measure the old XLA-on-TPU route at your
+# own risk.
+for x, backend in ((30, "auto"), (40, "auto"), (70, "auto")):
     pen = Penalties(x, 6, 2)
     opts = AlignmentOptions(
         penalties=pen, compute_cigar=False, max_error=4000, backend=backend
@@ -45,7 +51,7 @@ for x, backend in ((30, "auto"), (40, "auto"), (40, "xla"), (70, "auto")):
     dt = time.time() - t0
     aws = pen.active_working_set
     eng = backend if backend != "auto" else (
-        "pallas" if aws <= 64 else "xla"
+        "pallas" if aws <= 64 else "cpu-engine"
     )
     print(
         f"x={x} aws={aws} engine={eng}: {n / dt:.0f} aln/s "

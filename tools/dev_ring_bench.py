@@ -29,7 +29,7 @@ from wfa_tpu import native
 
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 L = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
-err = float(sys.argv[3]) if len(sys.argv) > 3 else 0.35
+err = float(sys.argv[3]) if len(sys.argv) > 3 else 0.5
 
 rng = np.random.default_rng(7)
 bases = np.frombuffer(b"ACGT", dtype=np.uint8)
@@ -44,7 +44,7 @@ for _ in range(n):
 
 pen = Penalties(2, 3, 1)
 opts = AlignmentOptions(
-    penalties=pen, max_error=4000, backend="pallas", cpu_fallback=False,
+    penalties=pen, max_error=4600, backend="pallas", cpu_fallback=False,
     data_parallel=False,
 )
 

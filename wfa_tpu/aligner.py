@@ -529,6 +529,23 @@ def align_pairs(
     # (max(o+e, x) + 1 > 64) run on the XLA engine.
     if pen.active_working_set > 64:
         use_pallas = False
+        import jax
+
+        if jax.default_backend() not in ("cpu",) and not os.environ.get(
+            "WFA_TPU_FORCE_XLA_TPU"
+        ):
+            # The XLA engine's gather-heavy program has crashed the axon TPU
+            # worker (measured round 3: x=70 distance on 512x1kbp killed the
+            # worker process); on an accelerator route these rare penalty
+            # sets to the native CPU engine instead.  WFA_TPU_FORCE_XLA_TPU=1
+            # restores the old behavior for measurement.
+            LOG.warning(
+                "active_working_set %d > 64: routing to the CPU engine "
+                "(the portable XLA engine is unstable on this accelerator)",
+                pen.active_working_set,
+            )
+            need_cpu |= ~oversized  # oversized pairs were already CPU-bound
+            device_idx = []
 
     # Divergence-ordered tiling for long reads (see utils/presort.py).
     # Both device engines run fixed tiles until the slowest lane finishes
