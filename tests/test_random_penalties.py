@@ -88,10 +88,53 @@ def test_aws_over_64_routes_to_cpu_on_accelerator(monkeypatch):
         oracle, _ = align_one_py(p, t, pen, False)
         assert r.error == oracle
 
-    # Kill-switch: the XLA engine route is restored (runs fine on the CPU
-    # devices backing this hermetic suite).
+    # Kill-switch: with default_backend still reporting an accelerator, the
+    # env var restores the XLA engine route (which executes fine on the CPU
+    # devices actually backing this hermetic suite).
     monkeypatch.setenv("WFA_TPU_FORCE_XLA_TPU", "1")
-    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     res2 = align_pairs(pats, txts, opts)
+    assert all(r2.finished_on_accelerator for r2 in res2)
     for r, r2 in zip(res, res2):
         assert r.error == r2.error
+
+
+def test_aws_over_64_cpu_fallback_disabled_runs_xla(monkeypatch):
+    """With cpu_fallback=False the aws>64 reroute must NOT fabricate
+    error=0 placeholders (ADVICE r3 medium): the XLA engine runs instead
+    and returns real scores (lib/align.cu:236-249 contract — the reference
+    never fabricates results)."""
+    import jax
+
+    pen = Penalties(70, 2, 1)  # aws = 71
+    pairs = _pairs(11)
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    opts = AlignmentOptions(
+        penalties=pen, max_error=400, backend="auto", cpu_fallback=False
+    )
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("WFA_TPU_FORCE_XLA_TPU", raising=False)
+    res = align_pairs(pats, txts, opts)
+    assert all(r.finished_on_accelerator for r in res)
+    for (p, t), r in zip(pairs, res):
+        oracle, _ = align_one_py(p, t, pen, False)
+        assert r.error == oracle
+
+
+def test_aws_over_64_explicit_xla_bypasses_reroute(monkeypatch):
+    """An explicit backend='xla' request is honored even on an accelerator
+    (ADVICE r3 low)."""
+    import jax
+
+    pen = Penalties(70, 2, 1)
+    pairs = _pairs(13)
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    opts = AlignmentOptions(penalties=pen, max_error=400, backend="xla")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("WFA_TPU_FORCE_XLA_TPU", raising=False)
+    res = align_pairs(pats, txts, opts)
+    assert all(r.finished_on_accelerator for r in res)
+    for (p, t), r in zip(pairs, res):
+        oracle, _ = align_one_py(p, t, pen, False)
+        assert r.error == oracle

@@ -50,9 +50,18 @@ for x, backend in ((30, "auto"), (40, "auto"), (70, "auto")):
     res = align_pairs(pats, txts, opts)
     dt = time.time() - t0
     aws = pen.active_working_set
-    eng = backend if backend != "auto" else (
-        "pallas" if aws <= 64 else "cpu-engine"
-    )
+    # The aws>64 reroute only fires on accelerators (aligner.py): on a CPU
+    # platform the x=70 row actually runs the XLA engine.
+    if backend != "auto":
+        eng = backend
+    elif aws <= 64:
+        eng = "pallas"
+    elif jax.default_backend() == "cpu" or os.environ.get(
+        "WFA_TPU_FORCE_XLA_TPU"
+    ):
+        eng = "xla"
+    else:
+        eng = "cpu-engine"
     print(
         f"x={x} aws={aws} engine={eng}: {n / dt:.0f} aln/s "
         f"(first call incl. compile {warm:.0f}s), "

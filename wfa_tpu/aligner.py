@@ -531,21 +531,36 @@ def align_pairs(
         use_pallas = False
         import jax
 
-        if jax.default_backend() not in ("cpu",) and not os.environ.get(
-            "WFA_TPU_FORCE_XLA_TPU"
+        if (
+            opts.backend != "xla"  # explicit XLA request bypasses the reroute
+            and jax.default_backend() not in ("cpu",)
+            and not os.environ.get("WFA_TPU_FORCE_XLA_TPU")
         ):
             # The XLA engine's gather-heavy program has crashed the axon TPU
             # worker (measured round 3: x=70 distance on 512x1kbp killed the
             # worker process); on an accelerator route these rare penalty
             # sets to the native CPU engine instead.  WFA_TPU_FORCE_XLA_TPU=1
-            # restores the old behavior for measurement.
-            LOG.warning(
-                "active_working_set %d > 64: routing to the CPU engine "
-                "(the portable XLA engine is unstable on this accelerator)",
-                pen.active_working_set,
-            )
-            need_cpu |= ~oversized  # oversized pairs were already CPU-bound
-            device_idx = []
+            # or an explicit backend='xla' restores the old behavior.
+            if opts.cpu_fallback:
+                LOG.warning(
+                    "active_working_set %d > 64: routing to the CPU engine "
+                    "(the portable XLA engine is unstable on this "
+                    "accelerator; pass backend='xla' to override)",
+                    pen.active_working_set,
+                )
+                need_cpu |= ~oversized  # oversized were already CPU-bound
+                device_idx = []
+            else:
+                # With cpu_fallback disabled the reroute would fabricate
+                # error=0 placeholders (the reference never fabricates
+                # results — unfinished pairs are always recomputed,
+                # lib/align.cu:236-249); run the XLA engine instead.
+                LOG.warning(
+                    "active_working_set %d > 64 with cpu_fallback=False: "
+                    "running the XLA engine on this accelerator (it has "
+                    "crashed TPU workers on such penalty sets before)",
+                    pen.active_working_set,
+                )
 
     # Divergence-ordered tiling for long reads (see utils/presort.py).
     # Both device engines run fixed tiles until the slowest lane finishes
