@@ -72,3 +72,47 @@ def test_mismatched_list_lengths_raise():
 
 def test_empty_batch():
     assert align_pairs([], [], AlignmentOptions(penalties=PEN)) == []
+
+
+def test_device_retry_escalates_before_cpu_fallback():
+    """Pairs whose distance exceeds max_error get a second device pass at a
+    doubled budget (AlignmentOptions.device_retries) before the CPU fallback
+    (reference contract: unfinished pairs are always recomputed,
+    lib/align.cu:236-249 — here the recompute stays on the accelerator when
+    the bigger budget suffices)."""
+    # distance 2*10 = 20 > max_error 16, but < the retry budget 32.
+    p = b"ACGT" * 16
+    t = b"TCGT" * 8 + b"ACGT" * 8  # 8 mismatches, distance 16 > max_error?
+    pairs = [(p, t), (p, p)]
+    res = _run(pairs, device_retries=1)
+    assert res[0].error == _oracle(p, t)
+    assert res[0].error > 8  # genuinely past the first budget below
+    opts_low = AlignmentOptions(
+        penalties=PEN, compute_cigar=True, max_error=res[0].error - 2,
+        backend="xla", device_retries=1,
+    )
+    r1 = align_pairs([p, p], [t, p], opts_low)
+    assert r1[0].finished_on_accelerator
+    assert r1[0].error == res[0].error
+    assert check_cigar(r1[0].cigar, p, t)
+    # With retries disabled the same pair must take the CPU fallback.
+    opts_none = AlignmentOptions(
+        penalties=PEN, compute_cigar=True, max_error=res[0].error - 2,
+        backend="xla", device_retries=0,
+    )
+    r0 = align_pairs([p, p], [t, p], opts_none)
+    assert not r0[0].finished_on_accelerator
+    assert r0[0].error == res[0].error
+
+
+def test_device_retry_skips_non_acgt():
+    """Non-ACGT pairs can never finish on device; the retry tier must not
+    re-run them (they go straight to the CPU fallback)."""
+    p, t = b"ACGTNACGT" * 8, b"ACGTTACGT" * 8
+    opts = AlignmentOptions(
+        penalties=PEN, compute_cigar=True, max_error=4, backend="xla",
+        device_retries=3,
+    )
+    res = align_pairs([p], [t], opts)
+    assert not res[0].finished_on_accelerator
+    assert res[0].error == _oracle(p, t)

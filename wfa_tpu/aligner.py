@@ -562,117 +562,157 @@ def align_pairs(
                     pen.active_working_set,
                 )
 
-    # Divergence-ordered tiling for long reads (see utils/presort.py).
-    # Both device engines run fixed tiles until the slowest lane finishes
-    # (Pallas: dense tiles + done masks; XLA: tile_batch chunks in
-    # align_batch_device), so cost-ordered tiles reclaim finish-time
-    # variance on either; the native CPU fallback schedules per-pair
-    # dynamically and never sees the hints.
-    hints = None
-    dev_lens = lens[device_idx]
-    if dev_lens.size and int(dev_lens.max()) >= MIN_PRESORT_TIER:
-        from .utils.presort import divergence_scores
+    def _device_pass(run_idx: list[int], err: int) -> None:
+        # Divergence-ordered tiling for long reads (see utils/presort.py).
+        # Both device engines run fixed tiles until the slowest lane finishes
+        # (Pallas: dense tiles + done masks; XLA: tile_batch chunks in
+        # align_batch_device), so cost-ordered tiles reclaim finish-time
+        # variance on either; the native CPU fallback schedules per-pair
+        # dynamically and never sees the hints.
+        hints = None
+        dev_lens = lens[run_idx]
+        if dev_lens.size and int(dev_lens.max()) >= MIN_PRESORT_TIER:
+            from .utils.presort import divergence_scores
 
-        hints = divergence_scores(
-            [patterns[i] for i in device_idx],
-            [texts[i] for i in device_idx],
-            dev_lens,
-        )
-
-    for plan in _plan_tiers(lens[device_idx], opts, max_error, hints):
-        idxs = [device_idx[j] for j in plan.indices]
-        # Banded windows wider than the Pallas gather cap fall back to the
-        # XLA engine; exact mode always runs on Pallas (wide windows get
-        # width-capped + certified inside _run_tier_pallas).
-        w_pad = _round_up(plan.wf_width, 128)
-        if use_pallas and (not opts.banded or w_pad <= PALLAS_MAX_WIDTH):
-            _run_tier_pallas(
-                patterns, texts, idxs, plan, opts, max_error, band,
-                results, need_cpu,
-            )
-            continue
-        cfg = EngineConfig(
-            penalties=pen,
-            max_steps=max_error,
-            wf_width=plan.wf_width,
-            compute_cigar=opts.compute_cigar,
-            band=band,
-            score_limit=plan.score_limit if not opts.banded else None,
-        )
-        sched = build_schedule(pen, max_error, cfg.score_limit)
-        step_of_score = None
-        if opts.compute_cigar:
-            max_sc = int(sched.score[-1]) if sched.num_steps else 0
-            step_of_score = np.full(max_sc + 1, -1, dtype=np.int32)
-            step_of_score[sched.score] = np.arange(
-                sched.num_steps, dtype=np.int32
+            hints = divergence_scores(
+                [patterns[i] for i in run_idx],
+                [texts[i] for i in run_idx],
+                dev_lens,
             )
 
-        import jax
-
-        ndev = jax.local_device_count() if opts.data_parallel else 1
-        for start in range(0, len(idxs), plan.tile_batch):
-            chunk = idxs[start : start + plan.tile_batch]
-            bsz = _round_up(plan.tile_batch, 8 * ndev)
-            pats = [patterns[i] for i in chunk] + [b""] * (bsz - len(chunk))
-            txts = [texts[i] for i in chunk] + [b""] * (bsz - len(chunk))
-
-            pat_w, p_len, p_ok = pack_batch(pats, plan.nwords)
-            txt_w, t_len, t_ok = pack_batch(txts, plan.nwords)
-            valid = p_ok & t_ok
-
-            dev_args = (
-                jnp.asarray(pat_w),
-                jnp.asarray(txt_w),
-                jnp.asarray(p_len),
-                jnp.asarray(t_len),
-                jnp.asarray(valid),
+        for plan in _plan_tiers(dev_lens, opts, err, hints):
+            idxs = [run_idx[j] for j in plan.indices]
+            # Banded windows wider than the Pallas gather cap fall back to
+            # the XLA engine; exact mode always runs on Pallas (wide windows
+            # get width-capped + certified inside _run_tier_pallas).
+            w_pad = _round_up(plan.wf_width, 128)
+            if use_pallas and (not opts.banded or w_pad <= PALLAS_MAX_WIDTH):
+                _run_tier_pallas(
+                    patterns, texts, idxs, plan, opts, err, band,
+                    results, need_cpu,
+                )
+                continue
+            cfg = EngineConfig(
+                penalties=pen,
+                max_steps=err,
+                wf_width=plan.wf_width,
+                compute_cigar=opts.compute_cigar,
+                band=band,
+                score_limit=plan.score_limit if not opts.banded else None,
             )
-            if ndev > 1:
-                from .parallel.mesh import align_batch_sharded, data_mesh
-
-                out = align_batch_sharded(cfg, data_mesh(), *dev_args)
-            else:
-                out = align_batch_device(cfg, *dev_args)
-            dist = np.asarray(out["distance"])
-            fin = np.asarray(out["finished"])
-
-            cigars: list[str | None] = [None] * bsz
+            sched = build_schedule(pen, err, cfg.score_limit)
+            step_of_score = None
             if opts.compute_cigar:
-                # Fetch only steps the traceback can reach (device-side slice
-                # before the D2H transfer).
-                dmax = int(dist[fin].max(initial=0))
-                smax = int(step_of_score[min(dmax, len(step_of_score) - 1)])
-                rows = min(out["choices"].shape[0], smax + 2)
-                choices = np.asarray(out["choices"][:rows])
-                lo_trace = np.asarray(out["lo_trace"][:rows])
-                if native.available():
-                    cigars, _ = native.traceback_batch(
-                        choices, lo_trace, step_of_score, dist, fin,
-                        pats, txts, pen,
-                    )
-                else:
-                    from .traceback import recover_cigar
+                max_sc = int(sched.score[-1]) if sched.num_steps else 0
+                step_of_score = np.full(max_sc + 1, -1, dtype=np.int32)
+                step_of_score[sched.score] = np.arange(
+                    sched.num_steps, dtype=np.int32
+                )
 
-                    cigars = [
-                        recover_cigar(
-                            choices[:, b], lo_trace[:, b], sched,
-                            int(dist[b]), pats[b], txts[b],
+            import jax
+
+            ndev = jax.local_device_count() if opts.data_parallel else 1
+            for start in range(0, len(idxs), plan.tile_batch):
+                chunk = idxs[start : start + plan.tile_batch]
+                bsz = _round_up(plan.tile_batch, 8 * ndev)
+                pats = [patterns[i] for i in chunk]
+                pats += [b""] * (bsz - len(chunk))
+                txts = [texts[i] for i in chunk]
+                txts += [b""] * (bsz - len(chunk))
+
+                pat_w, p_len, p_ok = pack_batch(pats, plan.nwords)
+                txt_w, t_len, t_ok = pack_batch(txts, plan.nwords)
+                valid = p_ok & t_ok
+
+                dev_args = (
+                    jnp.asarray(pat_w),
+                    jnp.asarray(txt_w),
+                    jnp.asarray(p_len),
+                    jnp.asarray(t_len),
+                    jnp.asarray(valid),
+                )
+                if ndev > 1:
+                    from .parallel.mesh import align_batch_sharded, data_mesh
+
+                    out = align_batch_sharded(cfg, data_mesh(), *dev_args)
+                else:
+                    out = align_batch_device(cfg, *dev_args)
+                dist = np.asarray(out["distance"])
+                fin = np.asarray(out["finished"])
+
+                cigars: list[str | None] = [None] * bsz
+                if opts.compute_cigar:
+                    # Fetch only steps the traceback can reach (device-side
+                    # slice before the D2H transfer).
+                    dmax = int(dist[fin].max(initial=0))
+                    smax = int(
+                        step_of_score[min(dmax, len(step_of_score) - 1)]
+                    )
+                    rows = min(out["choices"].shape[0], smax + 2)
+                    choices = np.asarray(out["choices"][:rows])
+                    lo_trace = np.asarray(out["lo_trace"][:rows])
+                    if native.available():
+                        cigars, _ = native.traceback_batch(
+                            choices, lo_trace, step_of_score, dist, fin,
+                            pats, txts, pen,
                         )
-                        if fin[b]
-                        else None
-                        for b in range(bsz)
-                    ]
+                    else:
+                        from .traceback import recover_cigar
 
-            for b, i in enumerate(chunk):
-                if fin[b]:
-                    results[i] = AlignmentResult(
-                        error=int(dist[b]),
-                        cigar=cigars[b] or "",
-                        finished_on_accelerator=True,
-                    )
-                else:
-                    need_cpu[i] = True
+                        cigars = [
+                            recover_cigar(
+                                choices[:, b], lo_trace[:, b], sched,
+                                int(dist[b]), pats[b], txts[b],
+                            )
+                            if fin[b]
+                            else None
+                            for b in range(bsz)
+                        ]
+
+                for b, i in enumerate(chunk):
+                    if fin[b]:
+                        results[i] = AlignmentResult(
+                            error=int(dist[b]),
+                            cigar=cigars[b] or "",
+                            finished_on_accelerator=True,
+                        )
+                    else:
+                        need_cpu[i] = True
+
+    # Escalating on-device retry tier: pairs the device left unfinished at
+    # ``max_error`` get up to ``device_retries`` further device passes at a
+    # doubled error budget (wider band / window) before the host takes over.
+    # The reference recomputes every unfinished pair on the CPU
+    # (lib/align.cu:236-249); results here stay exactly as correct — a pair
+    # either finishes on device under the bigger budget or still falls back.
+    # Only ACGT-clean pairs re-enter (non-ACGT can never finish on device),
+    # and the budget never escalates past the all-indel cost bound.
+    err_cap = 2 * pen.o + pen.e * 2 * int(lens.max(initial=0)) + pen.x
+    todo = device_idx
+    attempt_err = max_error
+    for attempt in range(max(0, opts.device_retries) + 1):
+        if not todo:
+            break
+        if attempt:
+            LOG.debug(
+                "device retry %d: %d unfinished pairs at max_error %d",
+                attempt, len(todo), attempt_err,
+            )
+            for i in todo:
+                need_cpu[i] = False
+        _device_pass(todo, attempt_err)
+        failed = [i for i in todo if need_cpu[i]]
+        nxt = min(attempt_err * 2, err_cap)
+        if nxt <= attempt_err:
+            break
+        attempt_err = nxt
+        from .ops.packing import _ACGT
+
+        todo = [
+            i for i in failed
+            if _ACGT[np.frombuffer(patterns[i], np.uint8)].all()
+            and _ACGT[np.frombuffer(texts[i], np.uint8)].all()
+        ]
 
     # ---- CPU fallback pass (lib/align.cu:236-249 analog). ----
     cpu_idx = np.flatnonzero(need_cpu)

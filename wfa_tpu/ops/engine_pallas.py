@@ -128,6 +128,22 @@ class PallasConfig:
     # window's vector->scalar ``ok`` sync + fallback cond per extension
     # iteration; unserved lanes retry next iteration instead.
     extend_partial: bool = False
+    # Persistent staged windows (round 5): the extension's per-row sequence
+    # windows live in VMEM scratch across iterations AND scores — active
+    # diagonals advance slowly and monotonically, so one gathered window
+    # keeps serving for dozens of scores.  The common-path iteration is then
+    # rel = idx - base -> window gather, with NO lane-reduction mins and NO
+    # full-table gather sweep in the critical chain (the round-3 staged
+    # loader paid both every iteration); out-of-window lanes retry next
+    # iteration after a pl.when-guarded refresh re-bases the window.
+    # MEASURED NEGATIVE on the real HiFi workload (888-1051 aln/s vs 2912
+    # baseline, round 5): host-side simulation (tools/dev_spread_sim.py)
+    # shows the active lanes' word-index spread is 260-830 words per step —
+    # no VMEM-resident window can cover the probe, so the refresh fires
+    # nearly every iteration and serves only a fraction of the lanes.  Kept
+    # as an opt-in ablation (1 = on, 0 = off, default off).
+    # WFA_TPU_PERSIST_STAGE overrides the default process-wide.
+    persistent_stage: int = int(os.environ.get("WFA_TPU_PERSIST_STAGE", "0"))
 
     def __post_init__(self):
         assert self.wf_width % LANE == 0
@@ -308,6 +324,84 @@ def _load_span_pair2_partial(pat_ref, txt_ref, vpos, hpos, nwords, active):
     return raw_v, raw_t, srv
 
 
+_STAGE_SLACK = 8  # words of window kept below the active minimum at refresh
+
+
+def _load_span_pair2_persist(pat_ref, txt_ref, pwin_ref, pbase_ref,
+                             vpos, hpos, nwords, active):
+    """Staged-window loads served from a PERSISTENT window (VMEM scratch)
+    surviving across extension iterations and scores (PallasConfig.
+    persistent_stage).  Per iteration the common path is just
+    rel = idx - base -> gather from the resident window; out-of-window
+    lanes return srv=0 (partial-serve semantics — they retry next
+    iteration) and arm a pl.when-guarded refresh that re-bases the window
+    at the active lanes' minimum (anchored text base so refresh rounds
+    always make progress, see _load_span_pair2_partial; _STAGE_SLACK words
+    below for band re-centering), writing pwin/pbase for the NEXT
+    iteration — the refresh's reductions and full-table gather sweep never
+    sit in the serving iteration's data path."""
+    idx_v = jax.lax.shift_right_logical(vpos, 4)
+    idx_t = jax.lax.shift_right_logical(hpos, 4)
+    bt = idx_v.shape[0]
+    sw = _STAGE_CHUNKS * LANE
+    need = nwords + 1
+    cap = sw - need
+    base_v = pbase_ref[pl.ds(0, 1), :, :][0][:bt]
+    base_t = pbase_ref[pl.ds(1, 1), :, :][0][:bt]
+    rel_v = idx_v - base_v
+    rel_t = idx_t - base_t
+    act = active > 0
+    inw = (rel_v >= 0) & (rel_v <= cap) & (rel_t >= 0) & (rel_t <= cap)
+    srv = jnp.where(act & inw, 1, 0).astype(jnp.int32)
+
+    def serve(seq, rels):
+        def load_chunk(tc):
+            return pwin_ref[pl.ds(seq, 1), :, pl.ds(tc * LANE, LANE)][0][:bt]
+
+        return [
+            _gather_chunks(load_chunk, _STAGE_CHUNKS,
+                           jnp.where(srv > 0, rels, 0) + i, 0, jnp.uint32)
+            for i in range(need)
+        ]
+
+    raw_v = serve(0, rel_v)
+    raw_t = serve(1, rel_t)
+
+    missing = jnp.max(jnp.where(act & ~inw, 1, 0))
+
+    @pl.when(missing > 0)
+    def _():
+        bigw = jnp.int32(1 << 24)
+        mv = jnp.where(act, idx_v, bigw)
+        mt = jnp.where(act, idx_t, bigw)
+        bv = jnp.min(mv, axis=1, keepdims=True)
+        # Independent per-sequence bases serve EVERY active lane whenever
+        # the spread fits the window (the common case).  When it overflows,
+        # fall back to the anchored text base (min idx_t among the lanes
+        # attaining min idx_v, see _load_span_pair2_partial): only that
+        # guarantees some lane lands in BOTH windows, so refresh rounds
+        # always make progress (independent bases can deadlock there).
+        bt_i = jnp.min(mt, axis=1, keepdims=True)
+        bt_a = jnp.min(jnp.where(mv == bv, mt, bigw), axis=1, keepdims=True)
+        sp_v = jnp.max(jnp.where(act, idx_v, 0), axis=1, keepdims=True) - bv
+        sp_t = jnp.max(jnp.where(act, idx_t, 0), axis=1, keepdims=True) - bt_i
+        fits = (sp_v <= cap - _STAGE_SLACK) & (sp_t <= cap - _STAGE_SLACK)
+        bt2 = jnp.where(fits, bt_i, bt_a)
+        nb_v = jnp.maximum(jnp.where(bv == bigw, 0, bv) - _STAGE_SLACK, 0)
+        nb_t = jnp.maximum(jnp.where(bt2 == bigw, 0, bt2) - _STAGE_SLACK, 0)
+        lane_w = jax.lax.broadcasted_iota(jnp.int32, (bt, sw), 1)
+        pwin_ref[pl.ds(0, 1), pl.ds(0, bt), :] = _gather_words(
+            pat_ref, nb_v + lane_w
+        )[None]
+        pwin_ref[pl.ds(1, 1), pl.ds(0, bt), :] = _gather_words(
+            txt_ref, nb_t + lane_w
+        )[None]
+        pbase_ref[pl.ds(0, 1), pl.ds(0, bt), :] = nb_v[None]
+        pbase_ref[pl.ds(1, 1), pl.ds(0, bt), :] = nb_t[None]
+
+    return raw_v, raw_t, srv
+
+
 def _load_span_pair2_staged(pat_ref, txt_ref, vpos, hpos, nwords, active):
     """Staged variant of _load_span for both sequences at once: the active
     lanes of one extension iteration read words from a narrow range (lanes
@@ -373,7 +467,7 @@ def _tail_mask(nxt: jnp.ndarray, limit: jnp.ndarray) -> jnp.ndarray:
 
 def _extend(offs, k, pat_ref, txt_ref, plen, tlen,
             span: int = 8, first_span: int = 1, staged: bool = True,
-            serve_partial: bool = False):
+            serve_partial: bool = False, pwin_ref=None, pbase_ref=None):
     """Vectorized LCP extension (WF_extend_kernel analog).
 
     Two-phase: the first probe compares only ``first_span`` words (most lanes
@@ -400,6 +494,13 @@ def _extend(offs, k, pat_ref, txt_ref, plen, tlen,
             if staged and serve_partial:
                 raw_p, raw_t, srv = _load_span_pair2_partial(
                     pat_ref, txt_ref, vc, hc, nwords, active
+                )
+                wps = _dephase(raw_p, (vc & 15).astype(jnp.uint32), nwords)
+                wts = _dephase(raw_t, (hc & 15).astype(jnp.uint32), nwords)
+            elif staged and pwin_ref is not None:
+                raw_p, raw_t, srv = _load_span_pair2_persist(
+                    pat_ref, txt_ref, pwin_ref, pbase_ref, vc, hc, nwords,
+                    active,
                 )
                 wps = _dephase(raw_p, (vc & 15).astype(jnp.uint32), nwords)
                 wts = _dephase(raw_t, (hc & 15).astype(jnp.uint32), nwords)
@@ -577,7 +678,15 @@ def _wfa_kernel(cfg: PallasConfig):
             return (lo,)
         return (lo, (bits[1] << 1) | (bits[0] >> 31))
 
+    persist = cfg.staged_extend and not sp and cfg.persistent_stage != 0
+
     def kernel(*refs):
+        if persist:
+            pbase_ref = refs[-1]
+            pwin_ref = refs[-2]
+            refs = refs[:-2]
+        else:
+            pwin_ref = pbase_ref = None
         if cigar and banded:
             (pat_ref, txt_ref, plen_ref, tlen_ref, valid_ref,
              dist_ref, fin_ref, choices_ref, lo_ref,
@@ -622,6 +731,13 @@ def _wfa_kernel(cfg: PallasConfig):
                 wsem.at[j],
             )
 
+        if persist:
+            # Poison the window bases so the first extension refreshes
+            # before serving (scratch is uninitialized per grid step).
+            negb = jnp.full((1, pbase_ref.shape[1], 1), -(1 << 20), jnp.int32)
+            pbase_ref[pl.ds(0, 1), :, :] = negb
+            pbase_ref[pl.ds(1, 1), :, :] = negb
+
         if not ring:
             # Reset the whole ring to NULL (one row store per wavefront).
             null_row = jnp.full((1, BT, W), NULL, jnp.int32)
@@ -639,7 +755,8 @@ def _wfa_kernel(cfg: PallasConfig):
         offs0 = jnp.where(lane == j0, 0, NULL)
         m0 = _extend(offs0, k0_row, pat_ref, txt_ref, plen, tlen,
                      cfg.extend_span, cfg.extend_first_span,
-                     cfg.staged_extend, serve_partial=sp)
+                     cfg.staged_extend, serve_partial=sp,
+                     pwin_ref=pwin_ref, pbase_ref=pbase_ref)
         if ring:
             # The HBM ring needs no NULL reset: every read is masked by the
             # scalar existence bits, which are only set after the producing
@@ -838,6 +955,7 @@ def _wfa_kernel(cfg: PallasConfig):
                         M_pb >> 2, k_row, pat_ref, txt_ref, plen, tlen,
                         cfg.extend_span, cfg.extend_first_span,
                         cfg.staged_extend, serve_partial=sp,
+                        pwin_ref=pwin_ref, pbase_ref=pbase_ref,
                     )
 
                 if banded:
@@ -1231,6 +1349,7 @@ def _wfa_kernel(cfg: PallasConfig):
                         offs2, k2, pat_ref, txt_ref, pl2, tl2,
                         cfg.extend_span, cfg.extend_first_span,
                         cfg.staged_extend, serve_partial=sp,
+                        pwin_ref=pwin_ref, pbase_ref=pbase_ref,
                     )
                 done, fin, dist = settle(
                     d, ex0, r0[5], r0[7], M2[:BT], r0[3], r0[4], r0[6],
@@ -1458,6 +1577,15 @@ def align_batch_pallas_impl(
         scratch += [
             pltpu.VMEM((2, BT, cfg.wf_width), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
+        ]
+    if (cfg.staged_extend and not (cfg.ring_hbm or cfg.extend_partial)
+            and cfg.persistent_stage != 0):
+        # Persistent staged sequence windows + their per-row word bases
+        # (appended LAST; the kernel pops them off the end of *refs).
+        btx = BT * cfg.stacked_scores
+        scratch += [
+            pltpu.VMEM((2, btx, _STAGE_CHUNKS * LANE), jnp.uint32),
+            pltpu.VMEM((2, btx, 1), jnp.int32),
         ]
 
     kernel = _wfa_kernel(cfg)

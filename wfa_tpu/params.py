@@ -66,6 +66,14 @@ class AlignmentOptions:
     memory_budget_bytes: int = 1 << 30
     # Run CPU fallback for unfinished/invalid pairs (reference always does).
     cpu_fallback: bool = True
+    # On-device escalation before the CPU fallback: pairs the device left
+    # unfinished at ``max_error`` are retried up to this many times with a
+    # doubled error budget (and hence wider band / window) while they can
+    # still benefit (ACGT-clean, non-oversized).  The reference recomputes
+    # every unfinished pair on the host (lib/align.cu:236-249); the retry
+    # tier keeps heuristically-divergent pairs on the accelerator instead.
+    # 0 disables (exact reference routing).
+    device_retries: int = 1
     # Device engine: "auto" uses the Pallas kernels on TPU where they apply,
     # the portable XLA engine elsewhere; "xla"/"pallas" force one.
     backend: str = "auto"
