@@ -49,17 +49,23 @@ base = dict(
 )
 
 variants = [
-    ("span96", {"extend_span": 96}),
-    ("span96 fs1", {"extend_span": 96, "extend_first_span": 1}),
-    ("span128", {"extend_span": 128}),
-    ("span96 W384", {"extend_span": 96, "wf_width": 384}),
+    ("span96 -pstg", {"extend_span": 96, "probe_staged": False,
+                      "uniform_serve": False}),
+    ("probe-only -pstg (timing)", {"extend_span": 96,
+                                   "probe_staged": False,
+                                   "debug_probe_only": True,
+                                   "score_cap": 80}),
+    ("dispatch-only (timing)", {"extend_span": 96, "probe_staged": False,
+                                "debug_stride_mode": 1, "score_cap": 80}),
+    ("one-stride (timing)", {"extend_span": 96, "probe_staged": False,
+                             "debug_stride_mode": 2, "score_cap": 80}),
+    ("one-stride +unif (timing)", {"extend_span": 96, "probe_staged": False,
+                                   "uniform_serve": True,
+                                   "debug_stride_mode": 2, "score_cap": 80}),
+    ("full -pstg capped (timing)", {"extend_span": 96, "probe_staged": False,
+                                    "score_cap": 80}),
     ("skip-extend (timing only)", {"debug_skip_extend": True,
                                    "score_cap": 80}),
-    ("skip-wread (timing only)", {"debug_skip_wread": True,
-                                  "score_cap": 80}),
-    ("skip-both (timing only)", {"debug_skip_extend": True,
-                                 "debug_skip_wread": True,
-                                 "score_cap": 80}),
 ]
 ref = None
 for name, kw in variants:

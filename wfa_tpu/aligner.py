@@ -744,9 +744,15 @@ def align_pairs(
                 finished_on_accelerator=False,
             )
     elif cpu_idx.size:
+        LOG.warning(
+            "%d pairs unfinished on device and cpu_fallback is disabled; "
+            "their results carry finished=False placeholders",
+            cpu_idx.size,
+        )
         for i in cpu_idx:
             results[i] = AlignmentResult(
-                error=0, cigar="", finished_on_accelerator=False
+                error=0, cigar="", finished_on_accelerator=False,
+                finished=False,
             )
 
     return results  # type: ignore[return-value]

@@ -93,6 +93,20 @@ class PallasConfig:
     # window gathered once per iteration (full-sweep fallback for lanes
     # outside the window).
     staged_extend: bool = True
+    # Probe staging: when False (default since round 5) the first-span probe
+    # skips the staged-window attempt and full-sweeps directly.  On real
+    # long reads the active-lane spread is 260-830 words and never fits the
+    # window (tools/dev_spread_sim.py), so staging pays its gathers + a
+    # scalar sync for nothing (measured +4.5% off: 3,144 vs 3,010 aln/s on
+    # HiFi); on short reads the table is 1-2 chunks and the full sweep is
+    # cheaper than stage+serve anyway.
+    probe_staged: bool = False
+    # Uniform-rel fast path in the compacted wide stride: when every active
+    # lane sits at the staged window's base word (the one-survivor case),
+    # serve the span as static stage slices broadcast across lanes instead
+    # of (span+1) x 2 serve gathers.  MEASURED NEGATIVE on HiFi (3,002 vs
+    # 3,144 aln/s) — kept as an ablation, default off.
+    uniform_serve: bool = False
     # Perf-debugging knobs: skip the HBM choice spill / lo recording, stub
     # out the LCP extension / parent-window reads (timing ablations only —
     # results are wrong with these set).
@@ -100,6 +114,18 @@ class PallasConfig:
     debug_skip_lo: bool = False
     debug_skip_extend: bool = False
     debug_skip_wread: bool = False
+    debug_probe_only: bool = False
+    # Timing-only decomposition of the post-probe stride machinery:
+    # 1 = dispatch reductions + switch with no-op branches (isolates the
+    #     dispatch); 2 = pick + exactly one wide-stride body, no while loop
+    #     (isolates the serve); 0 = normal.
+    debug_stride_mode: int = 0
+    # Emit real-dynamics counters as an extra [B, 8] int32 output (results
+    # stay correct): per tile, col 0 = extension calls, 1 = wide-stride body
+    # executions, 2 = full_path (scattered) dispatches, 3 = compact
+    # dispatches, 4 = sum of probe survivors, 5 = sum of active lanes
+    # entering extension.
+    debug_counters: bool = False
     debug_always_compute: bool = False
     # Mosaic scoped-VMEM limit override (bytes; 0 = compiler default 16 MiB).
     # Wide exact-CIGAR windows need slightly more stack for the staged
@@ -402,6 +428,94 @@ def _load_span_pair2_persist(pat_ref, txt_ref, pwin_ref, pbase_ref,
     return raw_v, raw_t, srv
 
 
+def _load_span_pair2_switch(pat_ref, txt_ref, vpos, hpos, nwords, active,
+                            uniform: bool):
+    """3-way staged loader returning DEPHASED word lists (wps, wts).
+
+    sel=2 (uniform fast path, only when ``uniform``): every active lane's
+    word index equals the window base on both sequences — the compacted
+    one-survivor case (real HiFi has at most ONE >=32b probe survivor per
+    step, tools/dev_spread_sim.py), where the span serve needs NO gathers:
+    raw word i is the static stage column i broadcast across lanes.  This
+    removes the serve's (nwords+1) x 2 dependent-gather chain (~80 ns/link,
+    BASELINE.md SOL) from the wide-stride critical path.
+    sel=1: staged gather serve (spread fits the window).
+    sel=0: full-table sweep fallback.
+    One lane reduction + one scalar sync pick the branch (same sync count
+    as the old ok-flag cond)."""
+    idx_v = jax.lax.shift_right_logical(vpos, 4)
+    idx_t = jax.lax.shift_right_logical(hpos, 4)
+    bigw = jnp.int32(1 << 24)
+    act = active > 0
+    mv = jnp.where(act, idx_v, bigw)
+    mt = jnp.where(act, idx_t, bigw)
+    bv = jnp.min(mv, axis=1, keepdims=True)
+    bt_ = jnp.min(mt, axis=1, keepdims=True)
+    base_v = jnp.where(bv == bigw, 0, bv)
+    base_t = jnp.where(bt_ == bigw, 0, bt_)
+    rel_v = idx_v - base_v
+    rel_t = idx_t - base_t
+    need = nwords + 1
+    over = jnp.maximum(jnp.where(act, rel_v, 0), jnp.where(act, rel_t, 0))
+    max_over = jnp.max(over)
+    cap = _STAGE_CHUNKS * LANE - need
+
+    bt = idx_v.shape[0]
+    w = idx_v.shape[1]
+    phase_v = (vpos & 15).astype(jnp.uint32)
+    phase_t = (hpos & 15).astype(jnp.uint32)
+
+    def load_stage():
+        lane_w = jax.lax.broadcasted_iota(
+            jnp.int32, (bt, _STAGE_CHUNKS * LANE), 1
+        )
+        return (_gather_words(pat_ref, base_v + lane_w),
+                _gather_words(txt_ref, base_t + lane_w))
+
+    def full_branch():
+        return (_load_span(pat_ref, vpos, nwords),
+                _load_span(txt_ref, hpos, nwords))
+
+    def gather_branch():
+        stage_v, stage_t = load_stage()
+
+        def serve(stage, rels):
+            return [
+                _gather_chunks(
+                    lambda tc: stage[:, tc * LANE : (tc + 1) * LANE],
+                    _STAGE_CHUNKS, rels + i, 0, jnp.uint32,
+                )
+                for i in range(need)
+            ]
+
+        raw_v = serve(stage_v, jnp.where(act, rel_v, 0))
+        raw_t = serve(stage_t, jnp.where(act, rel_t, 0))
+        return (_dephase(raw_v, phase_v, nwords),
+                _dephase(raw_t, phase_t, nwords))
+
+    if not uniform:
+        ok = max_over <= cap
+        return jax.lax.cond(ok, gather_branch, full_branch)
+
+    def uniform_branch():
+        stage_v, stage_t = load_stage()
+        raw_v = [
+            jnp.broadcast_to(stage_v[:, i : i + 1], (bt, w))
+            for i in range(need)
+        ]
+        raw_t = [
+            jnp.broadcast_to(stage_t[:, i : i + 1], (bt, w))
+            for i in range(need)
+        ]
+        return (_dephase(raw_v, phase_v, nwords),
+                _dephase(raw_t, phase_t, nwords))
+
+    sel = jnp.where(
+        max_over == 0, 2, jnp.where(max_over <= cap, 1, 0)
+    ).astype(jnp.int32)
+    return jax.lax.switch(sel, [full_branch, gather_branch, uniform_branch])
+
+
 def _load_span_pair2_staged(pat_ref, txt_ref, vpos, hpos, nwords, active):
     """Staged variant of _load_span for both sequences at once: the active
     lanes of one extension iteration read words from a narrow range (lanes
@@ -467,7 +581,10 @@ def _tail_mask(nxt: jnp.ndarray, limit: jnp.ndarray) -> jnp.ndarray:
 
 def _extend(offs, k, pat_ref, txt_ref, plen, tlen,
             span: int = 8, first_span: int = 1, staged: bool = True,
-            serve_partial: bool = False, pwin_ref=None, pbase_ref=None):
+            serve_partial: bool = False, pwin_ref=None, pbase_ref=None,
+            probe_staged: bool = True, uniform_serve: bool = True,
+            debug_probe_only: bool = False, debug_stride_mode: int = 0,
+            stats_ref=None):
     """Vectorized LCP extension (WF_extend_kernel analog).
 
     Two-phase: the first probe compares only ``first_span`` words (most lanes
@@ -483,7 +600,9 @@ def _extend(offs, k, pat_ref, txt_ref, plen, tlen,
     h0 = offs
     invalid = (offs < 0) | (v0 > plen) | (h0 > tlen)
 
-    def make_body(nwords):
+    def make_body(nwords, use_staged=None, uniform=False):
+        if use_staged is None:
+            use_staged = staged
         nb = 16 * nwords
 
         def body(state):
@@ -491,33 +610,22 @@ def _extend(offs, k, pat_ref, txt_ref, plen, tlen,
             vc = jnp.clip(v, 0, plen)
             hc = jnp.clip(h, 0, tlen)
             srv = None
-            if staged and serve_partial:
+            if use_staged and serve_partial:
                 raw_p, raw_t, srv = _load_span_pair2_partial(
                     pat_ref, txt_ref, vc, hc, nwords, active
                 )
                 wps = _dephase(raw_p, (vc & 15).astype(jnp.uint32), nwords)
                 wts = _dephase(raw_t, (hc & 15).astype(jnp.uint32), nwords)
-            elif staged and pwin_ref is not None:
+            elif use_staged and pwin_ref is not None:
                 raw_p, raw_t, srv = _load_span_pair2_persist(
                     pat_ref, txt_ref, pwin_ref, pbase_ref, vc, hc, nwords,
                     active,
                 )
                 wps = _dephase(raw_p, (vc & 15).astype(jnp.uint32), nwords)
                 wts = _dephase(raw_t, (hc & 15).astype(jnp.uint32), nwords)
-            elif staged:
-                raw_p, raw_t, ok_both = _load_span_pair2_staged(
-                    pat_ref, txt_ref, vc, hc, nwords, active
-                )
-                wps, wts = jax.lax.cond(
-                    ok_both,
-                    lambda: (
-                        _dephase(raw_p, (vc & 15).astype(jnp.uint32), nwords),
-                        _dephase(raw_t, (hc & 15).astype(jnp.uint32), nwords),
-                    ),
-                    lambda: (
-                        _load_span(pat_ref, vc, nwords),
-                        _load_span(txt_ref, hc, nwords),
-                    ),
+            elif use_staged:
+                wps, wts = _load_span_pair2_switch(
+                    pat_ref, txt_ref, vc, hc, nwords, active, uniform
                 )
             else:
                 wps = _load_span(pat_ref, vc, nwords)
@@ -565,8 +673,21 @@ def _extend(offs, k, pat_ref, txt_ref, plen, tlen,
         (~invalid) & (v0 < plen) & (h0 < tlen), 1, 0
     ).astype(jnp.int32)
     state = (v0, h0, jnp.zeros_like(offs), active0)
+    if stats_ref is not None:
+        stats_ref[0] = stats_ref[0] + 1
+        stats_ref[5] = stats_ref[5] + jnp.sum(active0)
     if first_span and first_span < span:
-        state = make_body(first_span)(state)
+        # The probe's staged window rarely fits on long diverse reads (the
+        # active lanes' word-index spread is 260-830 words on real HiFi,
+        # tools/dev_spread_sim.py), so probe_staged=False skips the doomed
+        # stage attempt + scalar sync and goes straight to the full sweep.
+        state = make_body(first_span, use_staged=staged and probe_staged)(
+            state
+        )
+        if debug_probe_only:  # timing ablation only — results are wrong
+            return jnp.where(invalid, NULL, offs + state[2])
+        if stats_ref is not None:
+            stats_ref[4] = stats_ref[4] + jnp.sum(state[3])
 
     w = offs.shape[1]
     if not (staged and w > LANE and first_span and first_span < span):
@@ -602,8 +723,21 @@ def _extend(offs, k, pat_ref, txt_ref, plen, tlen,
         # Do-while: the common case is exactly one wide stride, so run the
         # body once unconditionally and let the while cond (a ~380 ns
         # vector->scalar sync) fire once at exit instead of enter + exit.
-        st1 = make_body(span)((v_c, h_c, jnp.zeros_like(v_c), a_c))
-        _, _, acc_c, _ = jax.lax.while_loop(cond, make_body(span), st1)
+        wide0 = make_body(span, uniform=uniform_serve)
+        if stats_ref is None:
+            wide = wide0
+        else:
+            stats_ref[3] = stats_ref[3] + 1
+
+            def wide(st):
+                stats_ref[1] = stats_ref[1] + 1
+                return wide0(st)
+
+        st1 = wide((v_c, h_c, jnp.zeros_like(v_c), a_c))
+        if debug_stride_mode == 2:  # timing only: no while loop
+            acc_c = st1[2]
+        else:
+            _, _, acc_c, _ = jax.lax.while_loop(cond, wide, st1)
         rel = lane_i - base_l
         add = _gather_chunks(
             lambda tc: acc_c, 1,
@@ -618,15 +752,30 @@ def _extend(offs, k, pat_ref, txt_ref, plen, tlen,
         # short there: a wide-span full-width body materializes (span+1) x
         # [BT, W] loads per iteration and its staged window rarely covers
         # the scattered lanes, so it degrades to full-sweep gathers.
-        _, _, acc_f, _ = jax.lax.while_loop(
-            cond, make_body(min(span, 8)), state
-        )
+        if debug_stride_mode == 2:
+            return make_body(min(span, 8))(state)[2]
+        nar0 = make_body(min(span, 8))
+        if stats_ref is None:
+            nar = nar0
+        else:
+            stats_ref[2] = stats_ref[2] + 1
+
+            def nar(st):
+                stats_ref[1] = stats_ref[1] + 1
+                return nar0(st)
+
+        _, _, acc_f, _ = jax.lax.while_loop(cond, nar, state)
         return acc_f
 
     # One 3-way dispatch instead of two nested conds: both reduces issue
     # together and a single branch select follows.
     sel = jnp.where(any_active, jnp.where(fits, 2, 1), 0).astype(jnp.int32)
-    acc = jax.lax.switch(sel, [lambda: acc0, full_path, compact_path])
+    if debug_stride_mode == 1:  # timing only: dispatch without the strides
+        acc = jax.lax.switch(
+            sel, [lambda: acc0, lambda: acc0 + 1, lambda: acc0 + 2]
+        )
+    else:
+        acc = jax.lax.switch(sel, [lambda: acc0, full_path, compact_path])
     return jnp.where(invalid, NULL, offs + acc)
 
 
@@ -679,8 +828,25 @@ def _wfa_kernel(cfg: PallasConfig):
         return (lo, (bits[1] << 1) | (bits[0] >> 31))
 
     persist = cfg.staged_extend and not sp and cfg.persistent_stage != 0
+    # probe_staged=False replaces the probe's staged-window attempt with an
+    # UNCONDITIONAL full-table sweep (wins +4.5% at banded widths, see
+    # PallasConfig).  At wide-exact widths that sweep materializes
+    # (first_span+1) x 2 x [BT, W] u32 raw words on the Mosaic stack
+    # (~8 MiB at W=16384) and blows the scoped-VMEM limit, so keep the
+    # staged probe (whose full sweep lives inside a cond branch) there.
+    probe_staged = cfg.probe_staged or ring or W > 2048
 
     def kernel(*refs):
+        if cfg.debug_counters:
+            # The counters output is the LAST output, the SMEM stats scratch
+            # the LAST scratch; pop both before the per-mode destructuring.
+            stats_ref = refs[-1]
+            ns_other = ((4 if ring else 2) + (2 if cigar else 0)
+                        + (2 if persist else 0))
+            cnt_ref = refs[-(ns_other + 2)]
+            refs = refs[:-(ns_other + 2)] + refs[-(ns_other + 1):-1]
+        else:
+            stats_ref = cnt_ref = None
         if persist:
             pbase_ref = refs[-1]
             pwin_ref = refs[-2]
@@ -709,6 +875,9 @@ def _wfa_kernel(cfg: PallasConfig):
             (pat_ref, txt_ref, plen_ref, tlen_ref, valid_ref,
              dist_ref, fin_ref, state_ref, win_ref) = refs
         gi = pl.program_id(0)
+        if stats_ref is not None:
+            for i in range(8):
+                stats_ref[i] = 0
         plen = plen_ref[:]            # [BT, 1]
         tlen = tlen_ref[:]
         valid = valid_ref[:]          # [BT, 1] int32 0/1 (Mosaic dislikes
@@ -756,6 +925,11 @@ def _wfa_kernel(cfg: PallasConfig):
         m0 = _extend(offs0, k0_row, pat_ref, txt_ref, plen, tlen,
                      cfg.extend_span, cfg.extend_first_span,
                      cfg.staged_extend, serve_partial=sp,
+                        probe_staged=probe_staged,
+                        uniform_serve=cfg.uniform_serve,
+                        debug_probe_only=cfg.debug_probe_only,
+                        debug_stride_mode=cfg.debug_stride_mode,
+                        stats_ref=stats_ref,
                      pwin_ref=pwin_ref, pbase_ref=pbase_ref)
         if ring:
             # The HBM ring needs no NULL reset: every read is masked by the
@@ -955,6 +1129,11 @@ def _wfa_kernel(cfg: PallasConfig):
                         M_pb >> 2, k_row, pat_ref, txt_ref, plen, tlen,
                         cfg.extend_span, cfg.extend_first_span,
                         cfg.staged_extend, serve_partial=sp,
+                        probe_staged=probe_staged,
+                        uniform_serve=cfg.uniform_serve,
+                        debug_probe_only=cfg.debug_probe_only,
+                        debug_stride_mode=cfg.debug_stride_mode,
+                        stats_ref=stats_ref,
                         pwin_ref=pwin_ref, pbase_ref=pbase_ref,
                     )
 
@@ -1349,6 +1528,11 @@ def _wfa_kernel(cfg: PallasConfig):
                         offs2, k2, pat_ref, txt_ref, pl2, tl2,
                         cfg.extend_span, cfg.extend_first_span,
                         cfg.staged_extend, serve_partial=sp,
+                        probe_staged=probe_staged,
+                        uniform_serve=cfg.uniform_serve,
+                        debug_probe_only=cfg.debug_probe_only,
+                        debug_stride_mode=cfg.debug_stride_mode,
+                        stats_ref=stats_ref,
                         pwin_ref=pwin_ref, pbase_ref=pbase_ref,
                     )
                 done, fin, dist = settle(
@@ -1518,6 +1702,12 @@ def _wfa_kernel(cfg: PallasConfig):
         dist_ref[:] = dist
         fin_ref[:] = fin
 
+        if cnt_ref is not None:
+            for i in range(8):
+                cnt_ref[:, pl.ds(i, 1)] = jnp.full(
+                    (BT, 1), stats_ref[i], jnp.int32
+                )
+
     return kernel
 
 
@@ -1588,6 +1778,11 @@ def align_batch_pallas_impl(
             pltpu.VMEM((2, btx, 1), jnp.int32),
         ]
 
+    if cfg.debug_counters:
+        out_specs.append(tile_spec(8))
+        out_shape.append(jax.ShapeDtypeStruct((B, 8), jnp.int32))
+        scratch.append(pltpu.SMEM((8,), jnp.int32))
+
     kernel = _wfa_kernel(cfg)
     extra = {}
     if cfg.vmem_limit_bytes:
@@ -1616,6 +1811,8 @@ def align_batch_pallas_impl(
         res["choice_words"] = out[2]
         if cfg.banded:
             res["lo_trace"] = out[3]
+    if cfg.debug_counters:
+        res["counters"] = out[-1]
     return res
 
 

@@ -81,6 +81,13 @@ class AlignmentResult:
     error: int = 0
     cigar: str = ""
     finished_on_accelerator: bool = True
+    # False only when the device could not finish the pair and the CPU
+    # fallback was disabled (opts.cpu_fallback=False): ``error``/``cigar``
+    # are then placeholders, mirroring the reference kernel's
+    # alignment_result_t.finished=false contract (lib/alignment_results.h:37)
+    # — the reference always recomputes such pairs (lib/align.cu:236-249);
+    # with the recompute path disabled, the flag is the honest signal.
+    finished: bool = True
 
 
 @dataclasses.dataclass
