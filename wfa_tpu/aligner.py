@@ -27,7 +27,12 @@ import numpy as np
 
 from . import native
 from .ops.packing import pack_batch
-from .params import AlignmentOptions, default_band_width, default_max_error
+from .params import (
+    AUTO_BAND_INTERVAL,
+    AlignmentOptions,
+    default_band_width,
+    default_max_error,
+)
 from .schedule import build_schedule
 from .types import MAX_SEQ_LEN, AlignmentResult, Penalties
 from .utils.logger import LOG
@@ -274,6 +279,48 @@ def _tier_geometry(plan, opts, max_error: int, band: int, ndev: int,
         else (24 << 20) if wide_exact else 0,
     )
     return cfg, nwp, call_b, full_window, cert_bound
+
+
+def _probe_distances(
+    patterns, texts, run_idx, pen, max_error: int, band: int
+) -> np.ndarray | None:
+    """Two-pass ordered tiling, pass 1: MEASURED distances from a cheap
+    narrow-band (W=128) distance-only device run, used as the main pass's
+    tile-ordering hint (AlignmentOptions.probe_order).  Unfinished pairs
+    (band overflow / non-ACGT) get a +inf-like hint so they tile together
+    in the most-expensive bucket.  Returns None if the probe can't run
+    (packing or kernel failure) — callers fall back to the host estimate."""
+    import jax.numpy as jnp
+
+    from .ops.engine_pallas import PallasConfig, align_batch_pallas
+
+    try:
+        pats = [patterns[i] for i in run_idx]
+        txts = [texts[i] for i in run_idx]
+        n = len(pats)
+        bsz = _round_up(n, 8)
+        pats += [b""] * (bsz - n)
+        txts += [b""] * (bsz - n)
+        lmax = max(max(len(p), len(t)) for p, t in zip(pats, txts))
+        nwp = _round_up(lmax // 16 + 8, 128)
+        pat_w, p_len, p_ok = pack_batch(pats, nwp)
+        txt_w, t_len, t_ok = pack_batch(txts, nwp)
+        cfg = PallasConfig(
+            penalties=pen, max_steps=max_error, wf_width=128,
+            tile_batch=8, band=band if band > 0 else AUTO_BAND_INTERVAL,
+        )
+        out = align_batch_pallas(
+            cfg, jnp.asarray(pat_w), jnp.asarray(txt_w),
+            jnp.asarray(p_len), jnp.asarray(t_len),
+            jnp.asarray(p_ok & t_ok),
+        )
+        dist = np.asarray(out["distance"])[:n].astype(np.float64)
+        fin = np.asarray(out["finished"])[:n] != 0
+        dist[~fin] = float(1 << 30)
+        return dist
+    except Exception as ex:  # pragma: no cover - device-specific
+        LOG.warning("probe_order pass failed (%s); using host estimate", ex)
+        return None
 
 
 def _run_tier_pallas(
@@ -572,13 +619,18 @@ def align_pairs(
         hints = None
         dev_lens = lens[run_idx]
         if dev_lens.size and int(dev_lens.max()) >= MIN_PRESORT_TIER:
-            from .utils.presort import divergence_scores
+            if opts.probe_order and use_pallas:
+                hints = _probe_distances(
+                    patterns, texts, run_idx, pen, err, band
+                )
+            if hints is None:
+                from .utils.presort import divergence_scores
 
-            hints = divergence_scores(
-                [patterns[i] for i in run_idx],
-                [texts[i] for i in run_idx],
-                dev_lens,
-            )
+                hints = divergence_scores(
+                    [patterns[i] for i in run_idx],
+                    [texts[i] for i in run_idx],
+                    dev_lens,
+                )
 
         for plan in _plan_tiers(dev_lens, opts, err, hints):
             idxs = [run_idx[j] for j in plan.indices]

@@ -429,7 +429,7 @@ def _load_span_pair2_persist(pat_ref, txt_ref, pwin_ref, pbase_ref,
 
 
 def _load_span_pair2_switch(pat_ref, txt_ref, vpos, hpos, nwords, active,
-                            uniform: bool):
+                            uniform: bool, stats_ref=None):
     """3-way staged loader returning DEPHASED word lists (wps, wts).
 
     sel=2 (uniform fast path, only when ``uniform``): every active lane's
@@ -473,10 +473,14 @@ def _load_span_pair2_switch(pat_ref, txt_ref, vpos, hpos, nwords, active,
                 _gather_words(txt_ref, base_t + lane_w))
 
     def full_branch():
+        if stats_ref is not None:
+            stats_ref[7] = stats_ref[7] + 1
         return (_load_span(pat_ref, vpos, nwords),
                 _load_span(txt_ref, hpos, nwords))
 
     def gather_branch():
+        if stats_ref is not None:
+            stats_ref[6] = stats_ref[6] + 1
         stage_v, stage_t = load_stage()
 
         def serve(stage, rels):
@@ -625,7 +629,8 @@ def _extend(offs, k, pat_ref, txt_ref, plen, tlen,
                 wts = _dephase(raw_t, (hc & 15).astype(jnp.uint32), nwords)
             elif use_staged:
                 wps, wts = _load_span_pair2_switch(
-                    pat_ref, txt_ref, vc, hc, nwords, active, uniform
+                    pat_ref, txt_ref, vc, hc, nwords, active, uniform,
+                    stats_ref=stats_ref if nwords > first_span else None,
                 )
             else:
                 wps = _load_span(pat_ref, vc, nwords)
